@@ -1,0 +1,110 @@
+"""Chunking operators: pages -> text -> <=1024-char chunks with offsets.
+
+Reference: C1 splitter services/crud/chunks.py:198-231 (size cap config.py:138),
+S1/S2 text extraction services/crud/chunks.py:430-470. Per-row work runs inside
+ONE Arrow-batched ``mapInPandas`` pass importing the shared ``textcore`` module,
+so the extracted text is byte-identical to the pure-Python oracle per url and
+there is no per-row Python anywhere (north-rule UDF mandate).
+
+Scale shape: pages -> chunks is a narrow map (no shuffle). chunk_id is the
+deterministic ``url + ":" + start`` (the natural key behind FIXTURES.md §2's
+hash) computed JVM-side, so downstream joins never depend on Python hashing
+and provenance stays human-debuggable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHUNKS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("data_type", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("content_obj", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("start", T.IntegerType(), True),
+        T.StructField("end", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """pages + derived ``text`` column (byte-identical per url to textcore)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from knowledge_graph_studio_spark.textcore import page_text
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = [
+                page_text(h, t) for h, t in zip(pdf["html"], pdf["text"])
+            ]
+            yield pdf
+
+    return pages.mapInPandas(run, schema=pages.schema)
+
+
+def pages_to_chunks(pages: DataFrame, max_chars: int = 1024) -> DataFrame:
+    """pages -> string chunks (one narrow stage; text derivation fused in)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from knowledge_graph_studio_spark.textcore import (
+            page_text, split_text_into_chunks,
+        )
+
+        for pdf in batches:
+            rows = []
+            for url, html, text, lang in zip(
+                pdf["url"], pdf["html"], pdf["text"], pdf["lang"]
+            ):
+                full = page_text(html, text)
+                for ch in split_text_into_chunks(full, max_chars=max_chars):
+                    rows.append(
+                        (url, lang, "string", ch["content"], None,
+                         ch["start"], ch["end"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "lang", "data_type", "content", "content_obj",
+                         "start", "end"],
+            )
+
+    return pages.mapInPandas(run, schema=CHUNKS_SCHEMA).withColumn(
+        "chunk_id",
+        F.concat_ws(":", F.col("url"), F.col("start").cast("string")),
+    )
+
+
+def rows_to_object_chunks(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """CSV/JSON rows -> object chunks (S3/S4/S5, services/crud/chunks.py:324-369):
+    every cell stringified (type sanitation `validate_and_convert`), one
+    map<string,string> chunk per row — pure column ops, no UDF."""
+    cells = [c for c in df.columns if c != url_col]
+    kv = []
+    for c in cells:
+        kv.extend([F.lit(c), F.col(c).cast("string")])
+    out = df.select(
+        F.col(url_col).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit("object").alias("data_type"),
+        F.lit(None).cast("string").alias("content"),
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in cells]),
+            F.array(*[F.col(c).cast("string") for c in cells]),
+        ).alias("content_obj"),
+        F.lit(None).cast("int").alias("start"),
+        F.lit(None).cast("int").alias("end"),
+    )
+    return out.withColumn(
+        "chunk_id",
+        F.concat_ws(
+            ":", F.col("url"),
+            F.xxhash64(F.to_json(F.col("content_obj"))).cast("string"),
+        ),
+    )

@@ -1,0 +1,414 @@
+"""Entity linking / canonicalization / graph materialization operators.
+
+Reference parity (file:line in /root/reference/src/whyhow_api):
+  L1 merge-nodes rule transform   services/crud/rule.py:141-187,
+                                  graph_service.py:1015-1089
+  L2 node dedup-upsert merge law  graph_service.py:524-604 (+ merge_dicts
+                                  :244-294, chunk set-union :486-493)
+  L3 node-id resolution           graph_service.py:297-322 — replaced by the
+                                  deterministic xxhash64(graph, name, type)
+  L4 triple dedup-upsert          graph_service.py:622-710 (chunk law
+                                  setUnion(head∩tail, contributed) :668-691)
+  L6 interactive node merge       graph_service.py:2074-2181
+  L7 fuzzy duplicate clustering   graph_service.py:2184-2345 ($search maxEdits=1,
+                                  score > len(name)/5) — here a blocked
+                                  levenshtein<=1 self-join
+  CC dedup                        north rule: iterative DataFrame joins with
+                                  skew-aware salting + periodic truncation of
+                                  lineage (localCheckpoint)
+
+Scale notes (the load-bearing part):
+  * L1 is a BROADCAST join — the rule/alias map is tiny by construction
+    (workspace rules), so no shuffle of the triple stream.
+  * Node aggregation is TWO-PHASE SALTED: groupBy(name, type, salt) partial
+    merge, then groupBy(name, type) final merge. The hot entity (~20% of
+    pages) would otherwise pile one groupBy key onto one task; the salt bounds
+    per-task fan-in at phase 1, and phase 2 sees at most SALT rows per key.
+  * Property merge is NATIVE (aggregate + map_zip_with + transform_values) —
+    no UDAF, no Python in the agg path; the law is the commutative
+    specialization of merge_dicts (textcore.merge_string_props).
+  * CC is label propagation to the component minimum: per-iteration cost is one
+    shuffle join on node id; hot components are star-shaped alias clusters so
+    the iteration count is the graph diameter (small); lineage is truncated
+    every iteration via localCheckpoint to keep plans bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .extraction import PROPS
+
+NODE_KEY = ["name", "type"]
+
+
+# --------------------------------------------------------------------------- #
+# L1 — merge-nodes rules (broadcast alias-map join)
+# --------------------------------------------------------------------------- #
+
+def rules_to_alias_df(spark: SparkSession, rules: list) -> DataFrame:
+    """Flatten MergeNodesRule list to (from_name, node_type, to_name)."""
+    rows = [
+        (fn, r.node_type, r.to_node_name)
+        for r in rules
+        for fn in r.from_node_names
+    ]
+    return spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("from_name", T.StringType(), False),
+            T.StructField("node_type", T.StringType(), False),
+            T.StructField("to_name", T.StringType(), False),
+        ])
+    )
+
+
+def apply_merge_rules(triples: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """Rewrite head/tail through the alias map (rule.py:141-156 semantics:
+    name ∈ from_node_names AND type == node_type → to_node_name)."""
+    a = F.broadcast(alias_df)
+    out = (
+        triples.join(
+            a.select(F.col("from_name").alias("head"),
+                     F.col("node_type").alias("head_type"),
+                     F.col("to_name").alias("_h_to")),
+            ["head", "head_type"], "left")
+        .join(
+            a.select(F.col("from_name").alias("tail"),
+                     F.col("node_type").alias("tail_type"),
+                     F.col("to_name").alias("_t_to")),
+            ["tail", "tail_type"], "left")
+        .withColumn("head", F.coalesce("_h_to", "head"))
+        .withColumn("tail", F.coalesce("_t_to", "tail"))
+        .drop("_h_to", "_t_to")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# L7 — fuzzy duplicate candidates (blocked levenshtein self-join)
+# --------------------------------------------------------------------------- #
+
+def fuzzy_candidate_pairs(
+    names: DataFrame, max_edits: int = 1, min_len: int = 4
+) -> DataFrame:
+    """Distinct (name, type) -> candidate duplicate pairs.
+
+    Analog of the Atlas $search fuzzy stage (graph_service.py:2184-2231):
+    maxEdits=1 and the reference's score floor `searchScore > len(name)/5`
+    become levenshtein <= 1 with a minimum length (short names produce spurious
+    edit-distance-1 matches exactly like low fuzzy scores do).
+
+    Blocking: join on (type, lower first char, length bucket) so the self-join
+    is linear-ish, never O(n^2) — names differing by one edit share either the
+    first character or a length within 1, so we block on first char and accept
+    the tiny recall loss on first-char edits (documented deviation; the
+    reference's $search index has analogous analyzer-dependent recall limits).
+    """
+    base = (
+        names.select("name", "type")
+        .filter(F.length("name") >= min_len)
+        .withColumn("block", F.lower(F.substring("name", 1, 1)))
+        .withColumn("lname", F.lower("name"))
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.type") == F.col("b.type"))
+            & (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name"))
+            & (F.abs(F.length("a.name") - F.length("b.name")) <= max_edits),
+        )
+        .filter(F.levenshtein(F.col("a.lname"), F.col("b.lname")) <= max_edits)
+        .select(
+            F.col("a.name").alias("src"),
+            F.col("b.name").alias("dst"),
+            F.col("a.type").alias("type"),
+            (1.0 - F.levenshtein(F.col("a.lname"), F.col("b.lname"))
+             / F.greatest(F.length("a.name"), F.length("b.name"))).alias("similarity"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Connected components (label propagation to min, checkpointed)
+# --------------------------------------------------------------------------- #
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(src, dst) undirected edges -> (member, component) with component =
+    min member label. Iterative DataFrame joins; localCheckpoint every
+    iteration truncates lineage; converges in O(diameter) rounds (alias/fuzzy
+    clusters are stars, so ~2-3). Skew: the join key is the member id, not the
+    component id, so hot components don't concentrate on one task; AQE skew
+    handling covers residual imbalance."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    cc = (
+        sym.select("u").union(sym.select("v")).distinct()
+        .select(F.col("u").alias("member"), F.col("u").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # every member proposes its current component to its neighbors
+        proposals = (
+            sym.join(cc, sym["u"] == cc["member"], "inner")
+            .select(F.col("v").alias("member"), F.col("component"))
+            .groupBy("member").agg(F.min("component").alias("nbr_min"))
+        )
+        nxt = (
+            cc.join(proposals, "member", "left")
+            .select(
+                "member",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.alias("n").join(cc.alias("o"), "member")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        cc = nxt
+        if changed == 0:
+            break
+    return cc
+
+
+def canonical_mapping(
+    triples: DataFrame,
+    alias_df: DataFrame | None = None,
+    fuzzy: bool = True,
+) -> DataFrame:
+    """Produce (name, type, canonical_name) from fuzzy pairs (+rule aliases)
+    via connected components; the representative of each component is the most
+    frequently mentioned member (ties -> lexicographic min), mirroring the
+    reference's cluster ranking by similarity mass (graph_service.py:2289-2343).
+    """
+    names = (
+        triples.select(F.col("head").alias("name"), F.col("head_type").alias("type"))
+        .union(triples.select(F.col("tail").alias("name"), F.col("tail_type").alias("type")))
+        .groupBy("name", "type").agg(F.count("*").alias("freq"))
+    )
+    pair_parts = []
+    if fuzzy:
+        pair_parts.append(
+            fuzzy_candidate_pairs(names).select(
+                F.concat_ws("|", "src", "type").alias("src"),
+                F.concat_ws("|", "dst", "type").alias("dst"),
+            )
+        )
+    if alias_df is not None:
+        pair_parts.append(
+            alias_df.select(
+                F.concat_ws("|", "from_name", "node_type").alias("src"),
+                F.concat_ws("|", "to_name", "node_type").alias("dst"),
+            )
+        )
+    if not pair_parts:
+        raise ValueError("need fuzzy pairs or alias rules")
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.union(p)
+
+    cc = connected_components(pairs)
+    keyed = names.withColumn("member", F.concat_ws("|", "name", "type"))
+    clustered = keyed.join(cc, "member", "inner")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc("freq"), F.asc("name")
+    )
+    reps = (
+        clustered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select(F.col("component"), F.col("name").alias("canonical_name"))
+    )
+    return (
+        clustered.join(reps, "component")
+        .filter(F.col("name") != F.col("canonical_name"))
+        .select("name", "type", "canonical_name")
+    )
+
+
+def apply_canonical_mapping(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite triples through the CC mapping (same shape as L1, broadcast)."""
+    m = F.broadcast(mapping)
+    return (
+        triples.join(
+            m.select(F.col("name").alias("head"), F.col("type").alias("head_type"),
+                     F.col("canonical_name").alias("_h")),
+            ["head", "head_type"], "left")
+        .join(
+            m.select(F.col("name").alias("tail"), F.col("type").alias("tail_type"),
+                     F.col("canonical_name").alias("_t")),
+            ["tail", "tail_type"], "left")
+        .withColumn("head", F.coalesce("_h", "head"))
+        .withColumn("tail", F.coalesce("_t", "tail"))
+        .drop("_h", "_t")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# L2/L4 — node & edge materialization with the merge laws (salted, native)
+# --------------------------------------------------------------------------- #
+
+def _merge_props_col(col):
+    """Fold an array<map<string,array<string>>> with the commutative merge law:
+    per-key array concat, then sorted distinct (textcore.merge_string_props)."""
+    merged = F.aggregate(
+        F.filter(col, lambda m: m.isNotNull()),
+        F.lit(None).cast(PROPS),
+        lambda acc, m: F.when(acc.isNull(), m).otherwise(
+            F.map_zip_with(
+                acc, m,
+                lambda _k, v1, v2: F.when(v1.isNull(), v2)
+                .when(v2.isNull(), v1)
+                .otherwise(F.concat(v1, v2)),
+            )
+        ),
+    )
+    return F.transform_values(
+        F.coalesce(merged, F.from_json(F.lit("{}"), PROPS)),
+        lambda _k, v: F.array_sort(F.array_distinct(v)),
+    )
+
+
+def build_nodes(
+    triples: DataFrame, graph: str = "default", salt: int = 16
+) -> DataFrame:
+    """L2: endpoints -> deduped nodes with merged properties + chunk sets.
+
+    Two-phase salted aggregation (skew-proof for hot entities):
+      phase 1: groupBy(name, type, salt) — map-side + partial merge
+      phase 2: groupBy(name, type) — merge <=salt partials per key
+    node_id = xxhash64(graph, name, type) (replaces L3's id lookup)."""
+    heads = triples.select(
+        F.col("head").alias("name"), F.col("head_type").alias("type"),
+        F.col("head_properties").alias("props"), F.col("chunk_id"),
+    )
+    tails = triples.select(
+        F.col("tail").alias("name"), F.col("tail_type").alias("type"),
+        F.col("tail_properties").alias("props"), F.col("chunk_id"),
+    )
+    raw = heads.union(tails).withColumn(
+        "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
+    )
+    partial = raw.groupBy("name", "type", "salt").agg(
+        _merge_props_col(F.collect_list("props")).alias("props"),
+        F.collect_set("chunk_id").alias("chunks"),
+    )
+    final = partial.groupBy("name", "type").agg(
+        _merge_props_col(F.collect_list("props")).alias("properties"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))).alias("chunks"),
+    )
+    return final.select(
+        F.xxhash64(F.lit(graph), "name", "type").alias("node_id"),
+        F.lit(graph).alias("graph"),
+        "name", "type", "properties", "chunks",
+    )
+
+
+def build_edges(
+    triples: DataFrame, nodes: DataFrame, graph: str = "default", salt: int = 16
+) -> DataFrame:
+    """L4: triples -> deduped edges keyed (head_id, tail_id, relation).
+
+    Chunk law (graph_service.py:668-691): chunks = setUnion(
+    intersect(head_node.chunks, tail_node.chunks), contributed chunk ids).
+    Node chunk-sets are aggregated first and joined back (two-phase order the
+    reference also uses: nodes before triples, graph_service.py:597-671)."""
+    keyed = triples.withColumn(
+        "head_id", F.xxhash64(F.lit(graph), "head", "head_type")
+    ).withColumn(
+        "tail_id", F.xxhash64(F.lit(graph), "tail", "tail_type")
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
+    )
+    partial = keyed.groupBy("head_id", "tail_id", "relation", "salt").agg(
+        _merge_props_col(F.collect_list("relation_properties")).alias("props"),
+        F.collect_set("chunk_id").alias("chunks"),
+        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
+        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
+    )
+    agg = partial.groupBy("head_id", "tail_id", "relation").agg(
+        _merge_props_col(F.collect_list("props")).alias("properties"),
+        F.array_distinct(F.flatten(F.collect_list("chunks"))).alias("own_chunks"),
+        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
+        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
+    )
+    n = nodes.select(F.col("node_id"), F.col("chunks"))
+    out = (
+        agg.join(n.withColumnRenamed("chunks", "_hc"),
+                 agg["head_id"] == n["node_id"], "left").drop("node_id")
+        .join(n.withColumnRenamed("chunks", "_tc"),
+              agg["tail_id"] == n["node_id"], "left").drop("node_id")
+        .withColumn(
+            "chunks",
+            F.array_sort(
+                F.array_distinct(
+                    F.concat(
+                        F.array_intersect(
+                            F.coalesce("_hc", F.array()),
+                            F.coalesce("_tc", F.array()),
+                        ),
+                        F.col("own_chunks"),
+                    )
+                )
+            ),
+        )
+        .drop("_hc", "_tc", "own_chunks")
+    )
+    return out.select(
+        F.xxhash64(F.lit(graph), "head_id", "tail_id", "relation").alias("edge_id"),
+        F.lit(graph).alias("graph"),
+        "head_id", "tail_id",
+        F.col("relation").alias("rel_type"),
+        "head", "head_type", "tail", "tail_type",
+        "properties", "chunks",
+    )
+
+
+def merge_nodes_interactive(
+    nodes: DataFrame, edges: DataFrame, from_ids: list[int], to_id: int
+) -> tuple[DataFrame, DataFrame]:
+    """L6 (graph_service.py:2074-2181): repoint edges from from_ids to to_id,
+    fold the from-nodes' properties/chunks into the target, drop from-nodes."""
+    from_lit = F.array(*[F.lit(i) for i in from_ids])
+    moved = edges.withColumn(
+        "head_id",
+        F.when(F.array_contains(from_lit, F.col("head_id")), F.lit(to_id))
+        .otherwise(F.col("head_id")),
+    ).withColumn(
+        "tail_id",
+        F.when(F.array_contains(from_lit, F.col("tail_id")), F.lit(to_id))
+        .otherwise(F.col("tail_id")),
+    )
+    group = nodes.withColumn("_orig_id", F.col("node_id")).withColumn(
+        "node_id",
+        F.when(F.array_contains(from_lit, F.col("node_id")), F.lit(to_id))
+        .otherwise(F.col("node_id")),
+    )
+    merged_nodes = group.groupBy("node_id").agg(
+        F.first("graph").alias("graph"),
+        F.coalesce(
+            F.max(F.when(F.col("_orig_id") == to_id, F.col("name"))),
+            F.min("name"),
+        ).alias("name"),
+        F.first("type").alias("type"),
+        _merge_props_col(F.collect_list("properties")).alias("properties"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))).alias("chunks"),
+    )
+    return merged_nodes, moved

@@ -1,0 +1,133 @@
+"""End-to-end graph construction (the reference's Entry B,
+routers/graphs.py:286-323 -> graph_service.create_or_update_graph:1226-1402,
+re-expressed as one Spark lineage):
+
+    pages --(fused mapInPandas: text -> chunks -> pattern extraction)--> triples
+          --(L1 broadcast rule join)--> triples'
+          --(L7 fuzzy pairs + connected components)--> canonical triples
+          --(L2 salted groupBy merge)--> nodes
+          --(L4 salted groupBy merge + chunk-intersection law)--> edges
+
+Two entry points:
+  * build_graph          direct, in-memory lineage (bench path).
+  * build_graph_resumable  bucketed by xxhash64(url) with per-bucket manifest
+    commits: a killed run restarts from the last committed bucket and never
+    recomputes committed work (north-rule resume clause; tested by
+    tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .io.catalog import RunManifest, read_table
+from .operators.extraction import TRIPLES_SCHEMA, pages_to_triples
+from .operators.linking import (
+    apply_canonical_mapping, apply_merge_rules, build_edges, build_nodes,
+    canonical_mapping, rules_to_alias_df,
+)
+from .schema_model import default_gazetteer, default_rules, default_schema
+
+
+def _config(spark: SparkSession, schema=None, gazetteer=None, rules=None):
+    schema = schema or default_schema()
+    gazetteer = gazetteer or default_gazetteer()
+    rules = default_rules() if rules is None else rules
+    alias_df = rules_to_alias_df(spark, rules) if rules else None
+    return schema, gazetteer, alias_df
+
+
+def triples_from_pages(
+    spark: SparkSession, pages: DataFrame, schema=None, gazetteer=None, rules=None
+) -> DataFrame:
+    """pages -> rule-rewritten in-flight triples (no aggregation yet)."""
+    schema, gazetteer, alias_df = _config(spark, schema, gazetteer, rules)
+    t = pages_to_triples(pages, schema.pattern_dicts(), gazetteer)
+    if alias_df is not None:
+        t = apply_merge_rules(t, alias_df)
+    return t
+
+
+def build_graph(
+    spark: SparkSession,
+    pages: DataFrame,
+    graph: str = "default",
+    schema=None,
+    gazetteer=None,
+    rules=None,
+    fuzzy: bool = True,
+) -> dict[str, DataFrame]:
+    """Full construction; returns {"triples", "mapping", "nodes", "edges"}."""
+    triples = triples_from_pages(spark, pages, schema, gazetteer, rules)
+    triples = triples.persist()  # consumed by CC + node agg + edge agg
+    if fuzzy:
+        mapping = canonical_mapping(triples, alias_df=None, fuzzy=True).persist()
+        canon = apply_canonical_mapping(triples, mapping)
+    else:
+        mapping = None
+        canon = triples
+    nodes = build_nodes(canon, graph=graph).persist()
+    edges = build_edges(canon, nodes, graph=graph)
+    return {"triples": triples, "mapping": mapping, "nodes": nodes, "edges": edges}
+
+
+def build_graph_resumable(
+    spark: SparkSession,
+    pages_path: str,
+    workdir: str,
+    n_buckets: int = 8,
+    graph: str = "default",
+    schema=None,
+    gazetteer=None,
+    rules=None,
+    fail_after_bucket: int | None = None,
+) -> dict[str, DataFrame]:
+    """Checkpointed build over a materialized pages table.
+
+    Stage 1 (per url-hash bucket, resumable): extraction -> triples parquet +
+    manifest commit. Stage 2 (global, idempotent overwrite): CC + node/edge
+    aggregation over all committed triples. ``fail_after_bucket`` injects a
+    crash for the resume test."""
+    schema, gazetteer, alias_df = _config(spark, schema, gazetteer, rules)
+    manifest = RunManifest(workdir)
+    pages = spark.read.parquet(pages_path).withColumn(
+        "_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    done = manifest.committed("extract")
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.time()
+        part = pages.filter(F.col("_bucket") == b).drop("_bucket")
+        triples_b = triples_from_pages(spark, part, schema, gazetteer, rules)
+        out = f"{workdir}/triples/bucket={b}"
+        triples_b.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        manifest.commit("extract", b, t0, triples_emitted=n)
+        if fail_after_bucket is not None and b >= fail_after_bucket:
+            raise RuntimeError(f"injected failure after bucket {b}")
+
+    triples = (
+        spark.read.schema(TRIPLES_SCHEMA).parquet(f"{workdir}/triples")
+        .select([f.name for f in TRIPLES_SCHEMA.fields])  # drop bucket partition col
+        .persist()
+    )
+    mapping = canonical_mapping(triples, alias_df=None, fuzzy=True).persist()
+    canon = apply_canonical_mapping(triples, mapping)
+    nodes = build_nodes(canon, graph=graph).persist()
+    edges = build_edges(canon, nodes, graph=graph)
+    t0 = time.time()
+    nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
+    edges.write.mode("overwrite").parquet(f"{workdir}/edges")
+    manifest.commit("materialize", 0, t0,
+                    nodes=read_table(spark, f"{workdir}/nodes").count(),
+                    edges=read_table(spark, f"{workdir}/edges").count())
+    return {
+        "triples": triples,
+        "mapping": mapping,
+        "nodes": read_table(spark, f"{workdir}/nodes"),
+        "edges": read_table(spark, f"{workdir}/edges"),
+    }

@@ -1,0 +1,137 @@
+"""Canonicalization + merge-law tests (L1/L2/L4/L6/L7 + connected components)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_studio_spark.operators.extraction import TRIPLES_SCHEMA
+from knowledge_graph_studio_spark.operators.linking import (
+    apply_canonical_mapping, apply_merge_rules, build_edges, build_nodes,
+    canonical_mapping, connected_components, fuzzy_candidate_pairs,
+    merge_nodes_interactive, rules_to_alias_df,
+)
+from knowledge_graph_studio_spark.schema_model import MergeNodesRule
+
+
+def _triples_df(spark, rows):
+    cols = [f.name for f in TRIPLES_SCHEMA.fields]
+    return spark.createDataFrame(
+        [tuple(r.get(c) for c in cols) for r in rows], schema=TRIPLES_SCHEMA
+    )
+
+
+def _t(url, cid, h, ht, rel, t, tt, hp=None, rp=None, tp=None):
+    return {
+        "url": url, "chunk_id": cid, "head": h, "head_type": ht,
+        "relation": rel, "tail": t, "tail_type": tt,
+        "head_properties": hp, "relation_properties": rp, "tail_properties": tp,
+    }
+
+
+def test_apply_merge_rules_l1(spark):
+    rules = [MergeNodesRule(("Open AI", "OpenAI Inc"), "OpenAI", "company")]
+    triples = _triples_df(spark, [
+        _t("u1", "c1", "Ada", "person", "runs", "Open AI", "company"),
+        _t("u1", "c1", "OpenAI Inc", "company", "acquired", "Globex", "company"),
+        # type mismatch: name matches but node_type differs -> untouched
+        _t("u1", "c1", "Ada", "person", "likes", "Open AI", "service"),
+    ])
+    out = apply_merge_rules(triples, rules_to_alias_df(spark, rules)).collect()
+    by_rel = {r["relation"]: r for r in out}
+    assert by_rel["runs"]["tail"] == "OpenAI"
+    assert by_rel["acquired"]["head"] == "OpenAI"
+    assert by_rel["likes"]["tail"] == "Open AI"  # rule is type-scoped
+
+
+def test_node_merge_law_l2(spark):
+    triples = _triples_df(spark, [
+        _t("u1", "c1", "OpenAI", "company", "has service", "search", "service",
+           hp={"Location": ["SF"]}),
+        _t("u2", "c2", "OpenAI", "company", "has service", "hosting", "service",
+           hp={"Location": ["SF", "London"], "Employees": ["500"]}),
+    ])
+    nodes = build_nodes(triples, graph="g")
+    row = nodes.filter("name = 'OpenAI'").collect()[0]
+    assert row["type"] == "company"
+    assert row["properties"]["Location"] == ["London", "SF"]  # sorted union
+    assert row["properties"]["Employees"] == ["500"]
+    assert row["chunks"] == ["c1", "c2"]
+    # dedup: one row per (name, type)
+    assert nodes.filter("name = 'OpenAI'").count() == 1
+
+
+def test_edge_chunk_intersection_law_l4(spark):
+    # head node appears in c1,c2 ; tail node only in c2 ; edge contributed by c1
+    triples = _triples_df(spark, [
+        _t("u1", "c1", "A", "company", "acquired", "B", "company"),
+        _t("u1", "c2", "A", "company", "has service", "s", "service"),
+        _t("u1", "c2", "B", "company", "has service", "s", "service"),
+    ])
+    nodes = build_nodes(triples, graph="g")
+    edges = build_edges(triples, nodes, graph="g")
+    acq = edges.filter("rel_type = 'acquired'").collect()[0]
+    # law: setUnion(intersect(head.chunks={c1,c2}, tail.chunks={c1,c2}), own={c1})
+    # here B chunks = {c1,c2} (it appears as head/tail in c1 and c2)
+    assert acq["chunks"] == ["c1", "c2"]
+    # edge dedup across chunks
+    triples2 = _triples_df(spark, [
+        _t("u1", "c1", "A", "company", "acquired", "B", "company"),
+        _t("u2", "c9", "A", "company", "acquired", "B", "company"),
+    ])
+    nodes2 = build_nodes(triples2, graph="g")
+    edges2 = build_edges(triples2, nodes2, graph="g")
+    assert edges2.count() == 1
+    assert edges2.collect()[0]["chunks"] == ["c1", "c9"]
+
+
+def test_fuzzy_pairs_and_cc(spark):
+    names = spark.createDataFrame(
+        [("OpenAI", "company", 10), ("OpenAl", "company", 1),
+         ("Open AI", "company", 2), ("Globex", "company", 5),
+         ("OpenAI", "service", 1),  # same name, different type: no cross-type pair
+         ("Ada", "person", 3)],
+        ["name", "type", "freq"],
+    )
+    pairs = fuzzy_candidate_pairs(names).collect()
+    got = {(r["src"], r["dst"]) for r in pairs}
+    assert ("Open AI", "OpenAI") in got or ("OpenAI", "Open AI") in got
+    assert all("Globex" not in p and "Ada" not in p for pair in got for p in pair)
+
+    cc = connected_components(
+        spark.createDataFrame([("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"])
+    )
+    comp = {r["member"]: r["component"] for r in cc.collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_canonical_mapping_picks_most_frequent_rep(spark):
+    rows = []
+    for i in range(9):
+        rows.append(_t("u", f"c{i}", "OpenAI", "company", "has service", "s", "service"))
+    rows.append(_t("u", "c9", "OpenAl", "company", "has service", "s", "service"))
+    triples = _triples_df(spark, rows)
+    mapping = canonical_mapping(triples, fuzzy=True)
+    m = {(r["name"], r["type"]): r["canonical_name"] for r in mapping.collect()}
+    assert m == {("OpenAl", "company"): "OpenAI"}
+    rewritten = apply_canonical_mapping(triples, mapping)
+    assert rewritten.filter("head = 'OpenAl'").count() == 0
+
+
+def test_merge_nodes_interactive_l6(spark):
+    triples = _triples_df(spark, [
+        _t("u", "c1", "A", "company", "acquired", "B", "company",
+           hp={"k": ["1"]}),
+        _t("u", "c2", "A2", "company", "acquired", "B", "company",
+           hp={"k": ["2"]}),
+    ])
+    nodes = build_nodes(triples, graph="g")
+    edges = build_edges(triples, nodes, graph="g")
+    ids = {r["name"]: r["node_id"] for r in nodes.collect()}
+    new_nodes, new_edges = merge_nodes_interactive(
+        nodes, edges, from_ids=[ids["A2"]], to_id=ids["A"])
+    assert new_nodes.filter(F.col("node_id") == ids["A2"]).count() == 0
+    merged = new_nodes.filter(F.col("node_id") == ids["A"]).collect()[0]
+    assert merged["name"] == "A"
+    assert merged["properties"]["k"] == ["1", "2"]
+    assert new_edges.filter(F.col("head_id") == ids["A2"]).count() == 0
+    assert new_edges.filter(F.col("head_id") == ids["A"]).count() == 2
