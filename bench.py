@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship KG
+construction pipeline (pages -> triples -> canonicalized nodes/edges) on a
+deterministic synthetic crawl sized to the SF.
+
+Prints ONE JSON line:
+  {"metric": "headline_suite_sec", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "kg_pages": N, "kg_triples": N, "kg_triples_per_sec": X,
+   "kg_pages_per_sec": X, "cores": N}
+
+The BASELINE.json scaling-efficiency evidence (local[8] vs local[32]) is
+produced by tools/scaling_bench.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue",
+    "windowed_events",
+    "group_agg",
+    "semi_join_filter",
+    "topk_cosine",
+    "embedding_neardup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_lsh",
+    "simhash",
+    "kg_cooccurrence",
+    "quality_score",
+    "fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from knowledge_graph_studio_spark.driver_contract import QUERIES
+    from knowledge_graph_studio_spark.pipeline import build_graph
+    from knowledge_graph_studio_spark.session import get_spark
+    from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+    spark = get_spark("kg-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # one trivial action to absorb JVM/codegen warm-up, then time cold queries
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    t_suite = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        t_suite += dt
+
+    # flagship KG pipeline, sized to SF (sf0.1 -> 2000 pages)
+    n_pages = max(int(20000 * sf), 200)
+    t0 = time.time()
+    out = build_graph(spark, synthetic_pages(spark, n_pages, seed=42,
+                                             partitions=cores * 2))
+    n_triples = out["triples"].count()
+    n_nodes = out["nodes"].count()
+    n_edges = out["edges"].count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    t_suite += kg_sec
+
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": round(t_suite, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "kg_pages": n_pages,
+        "kg_triples": n_triples,
+        "kg_nodes": n_nodes,
+        "kg_edges": n_edges,
+        "kg_triples_per_sec": round(n_triples / kg_sec, 2),
+        "kg_pages_per_sec": round(n_pages / kg_sec, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,742 @@
+"""Driver-contract query battery: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the driver's
+TPC-H-ish tables (/root/testdata/sf*/): the reference's MQL query surface
+(§2.6 Q1-Q18), the merge/linking laws re-expressed relationally, and the
+large-scale training-data ops (dedup, similarity search, text analysis).
+
+Contract rules honored here:
+  * every aggregate/computed column is aliased identically in Spark and SQL;
+  * outputs avoid raw floats (integer cents / counts / md5 strings) so the
+    driver's order-insensitive value-hash is bit-stable across engines;
+  * queries marked ``# rows-only`` have no SQL oracle (non-SQL-expressible:
+    iterative CC, MinHash banding, pipeline ops on the synthetic corpus) — the
+    driver records the weaker rows-only check, and pytest covers their laws.
+
+Scale notes are inline per query: what broadcasts, what shuffles, what the
+plan must push down.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# deterministic gazetteer over the driver's `documents` vocabulary
+GAZ_TERMS = [
+    "spark", "join", "filter", "window", "merge", "sort", "hash", "stream",
+    "vector", "query", "table", "customer",
+]
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "that"]
+
+_T = Callable[[SparkSession, str], DataFrame]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    """Money as exact integer cents: round(x*100) -> bigint; identical in
+    DuckDB as CAST(round(x*100) AS BIGINT). Keeps FP out of value hashes."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _tokens(col="text"):
+    return F.split(F.col(col), " ")
+
+
+def _cosine(a, b) -> F.Column:
+    """Exact cosine over array<float> cast to double (JVM-side fold — no UDF).
+    Matches DuckDB list_cosine_similarity on ::DOUBLE[] casts."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(ad, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(bd, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+# --------------------------------------------------------------------------- #
+# §2.6 relational operators (Q1-Q18 analogs)
+# --------------------------------------------------------------------------- #
+
+def q_filter_predicate(spark, sf):
+    """Q1 ($match: $in + $regex + range; graph_service.py:1520-1542).
+    Scale: pure scan-side — predicates push to parquet (PushedFilters)."""
+    o = _read(spark, sf, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_orderpriority").rlike("^(1|2)")
+        & (F.col("o_totalprice") > 1000.0)
+    ).select("o_orderkey", "o_custkey", "o_orderpriority")
+
+
+def q_fk_join_hydration(spark, sf):
+    """Q2/Q12 ($lookup chain triple->head/tail nodes; graph_service.py:1572-1587).
+    Scale: nation/region are broadcast (small dims) — no shuffle of customer."""
+    c = _read(spark, sf, "customer")
+    n = F.broadcast(_read(spark, sf, "nation"))
+    r = F.broadcast(_read(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "left")
+        .join(r, n.n_regionkey == r.r_regionkey, "left")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+def q_explode_tokens(spark, sf):
+    """Q3 ($unwind; crud/graph.py:257-258): token explode + count."""
+    d = _read(spark, sf, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_project_reshape(spark, sf):
+    """Q4 ($project/$addFields/$slice/$arrayElemAt; graph_service.py:1588-1634,
+    chunk-slice-8 :1762-1768): array slice, size, string reshape."""
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(_tokens(), 1, 3)).alias("first3"),
+        F.size(_tokens()).alias("n_tokens"),
+        F.upper("lang").alias("lang_uc"),
+        F.element_at(_tokens(), 1).alias("first_token"),
+    )
+
+
+def q_group_agg(spark, sf):
+    """Q5 ($group with $first/count; crud/graph.py:99-107): per-customer order
+    stats. Scale: map-side partial agg; integer cents keep hashes stable."""
+    o = _read(spark, sf, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents("o_totalprice")).alias("total_cents"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_orderstatus").alias("first_status"),
+    )
+
+
+def q_facet_count_page(spark, sf):
+    """Q6 ($facet rows+totalCount single pass; crud/graph.py:186-199):
+    window count(*) over () + sort/skip/limit."""
+    c = _read(spark, sf, "customer")
+    return (
+        c.withColumn("total_count", F.count("*").over(Window.partitionBy()))
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(10).limit(30)
+        .select("c_custkey", "c_name", "total_count")
+    )
+
+
+def q_sort_skip_limit(spark, sf):
+    """Q7 ($sort/$skip/$limit; utilities/routers.py:25-90)."""
+    e = _read(spark, sf, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.asc("event_id"))
+        .offset(5).limit(50)
+        .select("event_id", "event_type")
+    )
+
+
+def q_topk_cosine(spark, sf):
+    """Q8/Q9 ($vectorSearch numCandidates/limit; crud/chunks.py:64-100,
+    graph_service.py:1650-1779): exact brute-force cosine top-k=20 against the
+    vec_id=0 query vector. Scale: query vec broadcast via scalar subquery;
+    TakeOrderedAndProject avoids a global sort. Int output only."""
+    e = _read(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        "vec_id", "label", _cosine(F.col("embedding"), F.col("qvec")).alias("score")
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(20)
+        .select("vec_id", "label")
+    )
+
+
+def q_semi_join_filter(spark, sf):
+    """Q11 structured subgraph prefilter (graph_service.py:1492-1546):
+    ids-by-type filter then semi-join. Broadcast the small id set."""
+    n = _read(spark, sf, "nation")
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders")
+    asia = F.broadcast(
+        n.join(F.broadcast(_read(spark, sf, "region").filter("r_name = 'ASIA'")),
+               F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+    )
+    cust = c.join(asia, c.c_nationkey == asia.n_nationkey, "left_semi")
+    return (
+        o.join(F.broadcast(cust.select("c_custkey")),
+               o.o_custkey == F.col("c_custkey"), "left_semi")
+        .filter("o_orderstatus = 'O'")
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+def q_anti_join_validate(spark, sf):
+    """E7 triple-vs-pattern validation (graph_service.py:2613-2670) as a
+    left-anti join against a broadcast literal pattern set."""
+    p = _read(spark, sf, "part")
+    pats = F.broadcast(spark.createDataFrame(
+        [("Brand#1", "ECONOMY"), ("Brand#2", "STANDARD"), ("Brand#3", "SMALL")],
+        ["p_brand", "p_type"],
+    ))
+    return (
+        p.join(pats, ["p_brand", "p_type"], "left_anti")
+        .select("p_partkey", "p_brand", "p_type")
+    )
+
+
+def q_fuzzy_pairs(spark, sf):
+    """Q10/L7 fuzzy duplicate candidates ($search maxEdits=1 analog,
+    graph_service.py:2184-2231): levenshtein<=1 self-join with length+prefix
+    blocking (here all names share block — worst case bounded by block size)."""
+    c = _read(spark, sf, "customer").select("c_custkey", "c_name")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.length("a.c_name") == F.length("b.c_name"))
+            & (F.substring("a.c_name", 1, 1) == F.substring("b.c_name", 1, 1))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        .select(F.col("a.c_custkey").alias("custkey_a"),
+                F.col("b.c_custkey").alias("custkey_b"))
+    )
+
+
+def q_window_rank(spark, sf):
+    """§2.7 windows (replace the reference's Python sorts,
+    graph_service.py:2289-2343): top-3 customers by balance per nation."""
+    c = _read(spark, sf, "customer")
+    n = F.broadcast(_read(spark, sf, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "rnk")
+    )
+
+
+def q_setunion_tags(spark, sf):
+    """Q5 tag set-union ($push + $reduce $setUnion; routers/workspaces.py:145-189):
+    per-source sorted distinct langs as one string."""
+    d = _read(spark, sf, "documents")
+    return d.groupBy("source").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped scan+agg headline (bench workhorse). Integer cents."""
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).alias("sum_qty_x100"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                  .cast("bigint")).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark, sf):
+    """Join+agg+top-k headline: top-10 customers by lineitem revenue.
+    Scale: orders->customer broadcast at small SF, shuffle-hash beyond; AQE
+    picks at runtime."""
+    li = _read(spark, sf, "lineitem")
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    rev = (
+        li.withColumn("rev_cents",
+                      F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                      .cast("bigint"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+    return rev.orderBy(F.desc("revenue_cents"), F.asc("c_custkey")).limit(10)
+
+
+def q_windowed_events(spark, sf):
+    """Tumbling 1h event rollup (batch twin of the streaming path in
+    streaming/ingest.py): date_trunc + group. Integer cents."""
+    e = _read(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("cnt"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Training-data ops: dedup / similarity / text analysis (documents, embeddings)
+# --------------------------------------------------------------------------- #
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: md5(text) groups, keeper = min(doc_id) (hash-groupBy;
+    scale: one shuffle on the 128-bit hash, no skew by construction)."""
+    d = _read(spark, sf, "documents")
+    return (
+        d.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"),
+             F.count("*").alias("dup_count"))
+    )
+
+
+def _shingles(df, k: int = 3):
+    """distinct k-token shingles per doc: doc_id, shingle. Native sequence+
+    transform — no UDF."""
+    toks = _tokens()
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(k)])
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """N-gram (3-token shingle) Jaccard near-dup pairs, J >= 0.5.
+    Scale: inverted-index join on shingle (never O(n^2) docs); hot shingles
+    would be dropped by a frequency cap at web scale (cap not needed at SF)."""
+    d = _read(spark, sf, "documents")
+    sh = _shingles(d).persist()
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "da").join(sb, "db")
+        .filter(F.col("common") * 2 >= (F.col("na") + F.col("nb") - F.col("common")))
+        .select("da", "db", "common",
+                (F.col("na") + F.col("nb") - F.col("common")).alias("union_size"))
+    )
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (cos >= 0.4): blocked-GEMM all-pairs
+    (operators/similarity.cosine_allpairs — the dense kernel that runs within
+    LSH/IVF buckets at web scale)."""
+    from .operators.similarity import cosine_allpairs
+
+    e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
+    return cosine_allpairs(e, threshold=0.4)
+
+
+def q_lang_id(spark, sf):
+    """Language-ID heuristic: english stopword-ratio classifier (token-exact,
+    no replace tricks). Output label only — ints+strings."""
+    d = _read(spark, sf, "documents")
+    toks = _tokens()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.when(n_stop * 20 >= F.size(toks), F.lit("en"))
+        .otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def q_quality_score(spark, sf):
+    """Quality scoring: length/punct/mean-token-length stats as exact ints."""
+    d = _read(spark, sf, "documents")
+    toks = _tokens()
+    total_len = F.aggregate(F.transform(toks, F.length),
+                            F.lit(0), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.floor(total_len * 100 / F.size(toks)).cast("bigint").alias("avg_token_len_x100"),
+        F.regexp_count("text", F.lit(r"[,;.!?]")).alias("n_punct"),
+    )
+
+
+def q_token_count(spark, sf):
+    """Token counting: whitespace + BPE-ish regex ([A-Za-z]+|[0-9]|other)."""
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf):
+    """Document fingerprint: md5 over the sorted distinct token bag."""
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
+        .alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# KG-analog extraction ops over `documents` (oracle-checkable E1/E2/E11/L2/Q18)
+# --------------------------------------------------------------------------- #
+
+def _mentions(spark, sf):
+    d = _read(spark, sf, "documents")
+    gaz = F.array(*[F.lit(t) for t in GAZ_TERMS])
+    return (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.array_contains(gaz, F.col("token")))
+        .groupBy("doc_id", F.col("token").alias("term"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_kg_mentions(spark, sf):
+    """E1/E11 mention detection + Contains counts (utilities/common.py:99-198):
+    token-exact gazetteer matching, counts per (doc, term)."""
+    return _mentions(spark, sf)
+
+
+def q_kg_cooccurrence(spark, sf):
+    """E2-analog schema-guided triples: gazetteer terms co-occurring in a doc
+    -> (head, 'cooccurs_with', tail) with support = # docs. Inverted-index
+    self-join on doc_id (bounded by |gazetteer| per doc)."""
+    m = _mentions(spark, sf).select("doc_id", "term")
+    a = m.select("doc_id", F.col("term").alias("head"))
+    b = m.select("doc_id", F.col("term").alias("tail"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("head") < F.col("tail"))
+        .groupBy("head", "tail")
+        .agg(F.count("*").alias("support"))
+        .withColumn("relation", F.lit("cooccurs_with"))
+        .select("head", "relation", "tail", "support")
+    )
+
+
+def q_kg_node_degree(spark, sf):
+    """L2-analog node table over the co-occurrence graph: degree + support."""
+    t = q_kg_cooccurrence(spark, sf)
+    ends = t.select(F.col("head").alias("name"), "support").union(
+        t.select(F.col("tail").alias("name"), "support"))
+    return ends.groupBy("name").agg(
+        F.count("*").alias("degree"),
+        F.sum("support").alias("support_sum"),
+    )
+
+
+def q_compress_triples(spark, sf):
+    """Q18 triple compression (utilities/common.py:52-96): group (head,
+    relation) -> sorted comma-joined distinct tails."""
+    t = q_kg_cooccurrence(spark, sf)
+    return t.groupBy("head", "relation").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("tail"))).alias("tails"),
+        F.count("*").alias("n_tails"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Rows-only entries (non-SQL-expressible: pipeline over synthetic pages, LSH)
+# --------------------------------------------------------------------------- #
+
+def q_kg_pipeline_nodes(spark, sf):  # rows-only
+    """Flagship KG construction over the deterministic synthetic crawl
+    (pages table per BASELINE.json input_hint) — nodes output."""
+    from .pipeline import build_graph
+    from .sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 200, seed=42)
+    out = build_graph(spark, pages, fuzzy=False)
+    return out["nodes"].select("name", "type", "chunks")
+
+
+def q_kg_pipeline_edges(spark, sf):  # rows-only
+    from .pipeline import build_graph
+    from .sources.pages import synthetic_pages
+
+    pages = synthetic_pages(spark, 200, seed=42)
+    out = build_graph(spark, pages, fuzzy=False)
+    return out["edges"].select("head", "rel_type", "tail", "chunks")
+
+
+def q_minhash_lsh(spark, sf):  # rows-only
+    """MinHash+LSH near-dup candidates (scale path for q_dedup_ngram_jaccard);
+    recall vs exact Jaccard asserted in tests/test_dedup.py."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    d = _read(spark, sf, "documents")
+    return minhash_lsh_candidates(d)
+
+
+def q_simhash(spark, sf):  # rows-only
+    from .operators.dedup import simhash_buckets
+
+    d = _read(spark, sf, "documents")
+    return simhash_buckets(d)
+
+
+def q_ann_lsh_topk(spark, sf):  # rows-only
+    """LSH-bucketed approximate top-k (scale path for q_topk_cosine)."""
+    from .operators.similarity import ann_lsh_topk
+
+    e = _read(spark, sf, "embeddings")
+    q = e.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "embedding")
+    return ann_lsh_topk(e.filter("vec_id <> 0"), q, k=20).select("qid", "vec_id")
+
+
+# --------------------------------------------------------------------------- #
+# Registry + oracle SQL
+# --------------------------------------------------------------------------- #
+
+QUERIES: dict[str, _T] = {
+    "filter_predicate": q_filter_predicate,
+    "fk_join_hydration": q_fk_join_hydration,
+    "explode_tokens": q_explode_tokens,
+    "project_reshape": q_project_reshape,
+    "group_agg": q_group_agg,
+    "facet_count_page": q_facet_count_page,
+    "sort_skip_limit": q_sort_skip_limit,
+    "topk_cosine": q_topk_cosine,
+    "semi_join_filter": q_semi_join_filter,
+    "anti_join_validate": q_anti_join_validate,
+    "fuzzy_pairs": q_fuzzy_pairs,
+    "window_rank": q_window_rank,
+    "setunion_tags": q_setunion_tags,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue": q_top_revenue,
+    "windowed_events": q_windowed_events,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "kg_mentions": q_kg_mentions,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_node_degree": q_kg_node_degree,
+    "compress_triples": q_compress_triples,
+    "kg_pipeline_nodes": q_kg_pipeline_nodes,
+    "kg_pipeline_edges": q_kg_pipeline_edges,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+_GAZ_SQL = ",".join(f"'{t}'" for t in GAZ_TERMS)
+_STOP_SQL = ",".join(f"'{s}'" for s in EN_STOPWORDS)
+
+_MENTIONS_CTE = f"""
+with toks as (
+  select doc_id, unnest(string_split(text, ' ')) as token from documents
+), mentions as (
+  select doc_id, token as term, count(*) as cnt
+  from toks where token in ({_GAZ_SQL})
+  group by doc_id, token
+)"""
+
+_COOC_CTE = _MENTIONS_CTE + """
+, cooc as (
+  select a.term as head, 'cooccurs_with' as relation, b.term as tail,
+         count(*) as support
+  from mentions a join mentions b
+    on a.doc_id = b.doc_id and a.term < b.term
+  group by a.term, b.term
+)"""
+
+ORACLE_SQL: dict[str, str] = {
+    "filter_predicate": """
+        select o_orderkey, o_custkey, o_orderpriority from orders
+        where o_orderstatus in ('F','O')
+          and regexp_matches(o_orderpriority, '^(1|2)')
+          and o_totalprice > 1000.0""",
+    "fk_join_hydration": """
+        select c_custkey, c_name, n_name, r_name
+        from customer
+        left join nation on c_nationkey = n_nationkey
+        left join region on n_regionkey = r_regionkey""",
+    "explode_tokens": """
+        select token, count(*) as cnt
+        from (select unnest(string_split(text,' ')) as token from documents)
+        group by token""",
+    "project_reshape": """
+        select doc_id,
+               array_to_string(list_slice(string_split(text,' '),1,3),' ') as first3,
+               len(string_split(text,' ')) as n_tokens,
+               upper(lang) as lang_uc,
+               string_split(text,' ')[1] as first_token
+        from documents""",
+    "group_agg": """
+        select o_custkey,
+               count(*) as n_orders,
+               cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint) as total_cents,
+               max(o_orderdate) as last_order,
+               min(o_orderstatus) as first_status
+        from orders group by o_custkey""",
+    "facet_count_page": """
+        select c_custkey, c_name, total_count from (
+          select c_custkey, c_name, c_acctbal,
+                 count(*) over () as total_count
+          from customer)
+        order by c_acctbal desc, c_custkey asc limit 30 offset 10""",
+    "sort_skip_limit": """
+        select event_id, event_type from events
+        order by ts desc, event_id asc limit 50 offset 5""",
+    "topk_cosine": """
+        with q as (select embedding::DOUBLE[] as qvec from embeddings where vec_id = 0)
+        select vec_id, label from embeddings, q
+        where vec_id <> 0
+        order by list_cosine_similarity(embedding::DOUBLE[], qvec) desc, vec_id asc
+        limit 20""",
+    "semi_join_filter": """
+        select o_orderkey, o_custkey from orders
+        where o_orderstatus = 'O' and o_custkey in (
+          select c_custkey from customer where c_nationkey in (
+            select n_nationkey from nation where n_regionkey in (
+              select r_regionkey from region where r_name = 'ASIA')))""",
+    "anti_join_validate": """
+        select p_partkey, p_brand, p_type from part p
+        where not exists (
+          select 1 from (values ('Brand#1','ECONOMY'),('Brand#2','STANDARD'),
+                                ('Brand#3','SMALL')) v(b, t)
+          where v.b = p.p_brand and v.t = p.p_type)""",
+    "fuzzy_pairs": """
+        select a.c_custkey as custkey_a, b.c_custkey as custkey_b
+        from customer a join customer b
+          on len(a.c_name) = len(b.c_name)
+         and substr(a.c_name,1,1) = substr(b.c_name,1,1)
+         and a.c_custkey < b.c_custkey
+        where levenshtein(a.c_name, b.c_name) <= 1""",
+    "window_rank": """
+        select n_name, c_custkey, rnk from (
+          select n_name, c_custkey,
+                 row_number() over (partition by n_name
+                                    order by c_acctbal desc, c_custkey asc) as rnk
+          from customer join nation on c_nationkey = n_nationkey)
+        where rnk <= 3""",
+    "setunion_tags": """
+        select source,
+               string_agg(distinct lang, ',' order by lang) as langs,
+               count(*) as n_docs
+        from documents group by source""",
+    "pricing_summary": """
+        select l_returnflag, l_linestatus,
+               cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as sum_qty_x100,
+               cast(sum(cast(round(l_extendedprice*100) as bigint)) as bigint) as sum_base_cents,
+               cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) as bigint)) as bigint) as sum_disc_cents,
+               count(*) as count_order
+        from lineitem where l_shipdate <= timestamp '1998-09-01'
+        group by l_returnflag, l_linestatus""",
+    "top_revenue": """
+        select c_custkey, c_name,
+               cast(sum(cast(round(l_extendedprice*(1-l_discount)*100) as bigint)) as bigint) as revenue_cents
+        from lineitem
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        group by c_custkey, c_name
+        order by revenue_cents desc, c_custkey asc limit 10""",
+    "windowed_events": """
+        select date_trunc('hour', ts) as hour_start, event_type,
+               count(*) as cnt,
+               cast(sum(cast(round(value*100) as bigint)) as bigint) as value_cents
+        from events group by 1, 2""",
+    "dedup_exact": """
+        select md5(text) as text_hash,
+               min(doc_id) as keeper_doc_id,
+               count(*) as dup_count
+        from documents group by md5(text)""",
+    "dedup_ngram_jaccard": """
+        with tok as (select doc_id, string_split(text,' ') as toks from documents),
+        sh as (
+          select distinct doc_id,
+                 unnest([toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]
+                         for i in range(greatest(len(toks)-2,0))]) as shingle
+          from tok),
+        sz as (select doc_id, count(*) as n from sh group by doc_id),
+        pairs as (
+          select a.doc_id as da, b.doc_id as db, count(*) as common
+          from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+          group by a.doc_id, b.doc_id)
+        select da, db, common, (sa.n + sb.n - common) as union_size
+        from pairs join sz sa on da = sa.doc_id join sz sb on db = sb.doc_id
+        where common * 2 >= (sa.n + sb.n - common)""",
+    "embedding_neardup": """
+        select a.vec_id as va, b.vec_id as vb
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    "lang_id": f"""
+        with t as (select doc_id, string_split(text,' ') as toks from documents)
+        select doc_id, len(toks) as n_tokens,
+               len(list_filter(toks, x -> x in ({_STOP_SQL}))) as n_stopwords,
+               case when len(list_filter(toks, x -> x in ({_STOP_SQL}))) * 20 >= len(toks)
+                    then 'en' else 'other' end as lang_guess
+        from t""",
+    "quality_score": """
+        with t as (select doc_id, text, string_split(text,' ') as toks from documents)
+        select doc_id,
+               len(text) as n_chars,
+               len(toks) as n_tokens,
+               cast(floor(list_sum(list_transform(toks, x -> len(x))) * 100.0 / len(toks)) as bigint)
+                 as avg_token_len_x100,
+               len(regexp_extract_all(text, '[,;.!?]')) as n_punct
+        from t""",
+    "token_count": """
+        select doc_id,
+               len(string_split(text,' ')) as ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as bpe_ish_tokens
+        from documents""",
+    "fingerprint": """
+        select doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) as fingerprint
+        from documents""",
+    "kg_mentions": _MENTIONS_CTE + """
+        select doc_id, term, cnt from mentions""",
+    "kg_cooccurrence": _COOC_CTE + """
+        select head, relation, tail, support from cooc""",
+    "kg_node_degree": _COOC_CTE + """
+        , ends as (
+          select head as name, support from cooc
+          union all
+          select tail as name, support from cooc)
+        select name, count(*) as degree,
+               cast(sum(support) as bigint) as support_sum
+        from ends group by name""",
+    "compress_triples": _COOC_CTE + """
+        select head, relation,
+               string_agg(distinct tail, ',' order by tail) as tails,
+               count(*) as n_tails
+        from cooc group by head, relation""",
+}
+
+
+def flagship_entry(spark: SparkSession) -> DataFrame:
+    """Driver smoke check: KG-analog construction over the driver's sf0.001
+    documents table — mentions -> co-occurrence triples -> compressed graph."""
+    return q_kg_cooccurrence(spark, "/root/testdata/sf0.001")

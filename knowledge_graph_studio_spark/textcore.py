@@ -317,42 +317,49 @@ def sentences(text: str) -> list[tuple[int, str]]:
     return [(m.start(), m.group(0)) for m in _SENT_RE.finditer(text) if m.group(0).strip()]
 
 
+_GAZ_RE_CACHE: dict[int, tuple[re.Pattern, dict[str, tuple[str, str]]]] = {}
+
+
+def _gazetteer_regex(gazetteer: dict[str, tuple[str, str]]) -> re.Pattern:
+    """One alternation regex over all surfaces, longest-first so the leftmost
+    match is also the longest (greedy overlap resolution), word-bounded via
+    alnum lookarounds. Compiled once per gazetteer per process — this is the
+    executor-prologue model-load slot of the reference's spaCy extractor
+    (utilities/builders.py:86-97)."""
+    key = id(gazetteer)
+    hit = _GAZ_RE_CACHE.get(key)
+    if hit is not None and hit[1] is gazetteer:
+        return hit[0]
+    alts = "|".join(
+        re.escape(s) for s in sorted(gazetteer, key=lambda s: (-len(s), s))
+    )
+    pat = re.compile(r"(?<![0-9A-Za-z])(" + alts + r")(?![0-9A-Za-z])", re.I)
+    _GAZ_RE_CACHE[key] = (pat, gazetteer)
+    return pat
+
+
 def detect_mentions(
     text: str, gazetteer: dict[str, tuple[str, str]]
 ) -> list[dict[str, Any]]:
-    """Find gazetteer surfaces in ``text`` (case-insensitive, word-bounded).
+    """Find gazetteer surfaces in ``text`` (case-insensitive, word-bounded,
+    non-overlapping, longest-surface-wins at each position).
 
     gazetteer: lowercase surface -> (canonical_name, entity_type).
     Returns [{surface, name, type, start, count}] sorted by first offset, then
-    name — deterministic. Longer surfaces win overlaps (greedy left-to-right).
+    name — deterministic.
     """
-    low = text.lower()
-    taken = [False] * len(low)
+    pat = _gazetteer_regex(gazetteer)
     found: dict[tuple[str, str], dict[str, Any]] = {}
-    for surface in sorted(gazetteer, key=lambda s: (-len(s), s)):
-        name, etype = gazetteer[surface]
-        start = 0
-        while True:
-            i = low.find(surface, start)
-            if i < 0:
-                break
-            j = i + len(surface)
-            start = i + 1
-            before_ok = i == 0 or not low[i - 1].isalnum()
-            after_ok = j >= len(low) or not low[j].isalnum()
-            if not (before_ok and after_ok) or any(taken[i:j]):
-                continue
-            for k in range(i, j):
-                taken[k] = True
-            key = (name, etype)
-            if key in found:
-                found[key]["count"] += 1
-            else:
-                found[key] = {
-                    "surface": text[i:j], "name": name, "type": etype,
-                    "start": i, "count": 1,
-                }
-            start = j
+    for m in pat.finditer(text):
+        name, etype = gazetteer[m.group(1).lower()]
+        key = (name, etype)
+        if key in found:
+            found[key]["count"] += 1
+        else:
+            found[key] = {
+                "surface": m.group(1), "name": name, "type": etype,
+                "start": m.start(1), "count": 1,
+            }
     return sorted(found.values(), key=lambda d: (d["start"], d["name"]))
 
 

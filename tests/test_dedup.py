@@ -1,0 +1,87 @@
+"""Dedup operator laws: MinHash-LSH recall vs exact Jaccard, verified-pair
+precision, SimHash locality, exact dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_studio_spark.operators.dedup import (
+    minhash_lsh_candidates, minhash_neardup_pairs, simhash_signatures,
+    token_shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").persist()
+
+
+def _exact_jaccard_pairs(spark, docs, threshold):
+    sh = token_shingles(docs)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    common = (
+        a.join(b, ["shingle"]).filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db").agg(F.count("*").alias("common"))
+    )
+    j = (
+        common.join(sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .withColumn("j", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+    )
+    return {(r["da"], r["db"]) for r in j.filter(F.col("j") >= threshold).collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    exact = _exact_jaccard_pairs(spark, docs, 0.7)
+    assert exact, "fixture should contain near-duplicate docs"
+    cands = {(r["da"], r["db"])
+             for r in minhash_lsh_candidates(docs).collect()}
+    missed = exact - cands
+    recall = 1 - len(missed) / len(exact)
+    # 16 bands x 4 rows: P(candidate | J=0.7) = 1-(1-0.7^4)^16 ~ 0.99
+    assert recall >= 0.95, f"LSH recall {recall} (missed {missed})"
+
+
+def test_minhash_verified_pairs_match_exact(spark, docs):
+    exact = _exact_jaccard_pairs(spark, docs, 0.5)
+    verified = {(r["da"], r["db"])
+                for r in minhash_neardup_pairs(docs, jaccard_threshold=0.5).collect()}
+    # verification step makes precision exact; recall bounded by LSH
+    assert verified <= exact
+    assert len(verified) >= 0.95 * len(exact)
+
+
+def test_simhash_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    rows = [
+        (0, base),
+        (1, base),                      # identical
+        (2, base.replace("lazy", "sleepy")),  # near-dup
+        (3, "completely different words about spark shuffle partitions " * 12),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert sig[0] == sig[1]
+    assert hamming(sig[0], sig[2]) <= 12
+    assert hamming(sig[0], sig[3]) > 12
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    out = (
+        df.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("dup_count"))
+    )
+    rows = {r["keeper_doc_id"]: r["dup_count"] for r in out.collect()}
+    assert rows == {1: 2, 3: 1}

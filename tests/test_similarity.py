@@ -1,0 +1,72 @@
+"""Similarity-search laws: brute-force exactness, GEMM == SQL-fold cosine,
+LSH-ANN recall against the exact top-k."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_studio_spark.operators.similarity import (
+    ann_lsh_topk, brute_force_topk, cosine_allpairs, cosine_col,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_brute_force_topk_matches_manual(spark, emb):
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    got = brute_force_topk(emb.filter("vec_id <> 0"), q, k=10).collect()
+    assert len(got) == 10
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == list(range(1, 11))
+    # scores strictly ordered by rank
+    ordered = sorted(got, key=lambda r: r["rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["score"] >= b["score"]
+    # cross-check the top-1 against an exact SQL-fold computation
+    manual = (
+        emb.filter("vec_id <> 0").alias("v")
+        .crossJoin(F.broadcast(emb.filter("vec_id = 0").select(
+            F.col("embedding").alias("qv"))))
+        .select("vec_id", cosine_col(F.col("embedding"), F.col("qv")).alias("s"))
+        .orderBy(F.desc("s"), F.asc("vec_id")).limit(1).collect()[0]
+    )
+    assert ordered[0]["vec_id"] == manual["vec_id"]
+    assert abs(ordered[0]["score"] - manual["s"]) < 1e-9
+
+
+def test_cosine_allpairs_matches_sql_fold(spark, emb):
+    sub = emb.filter("vec_id < 60")
+    gemm = {(r["va"], r["vb"]) for r in cosine_allpairs(sub, 0.3).collect()}
+    a = sub.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    sql = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .filter(cosine_col(F.col("ea"), F.col("eb")) >= 0.3)
+        .select("va", "vb").collect()
+    }
+    assert gemm == sql
+
+
+def test_ann_lsh_recall(spark, emb):
+    qs = emb.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
+    vs = emb.filter("vec_id >= 5")
+    exact = brute_force_topk(vs, qs, k=10)
+    approx = ann_lsh_topk(vs, qs, k=10, n_planes=4, n_tables=24)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"ANN recall {recall}"
+    # every ANN hit must carry its true cosine rank ordering per query
+    rows = approx.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, lst in by_q.items():
+        lst = sorted(lst, key=lambda r: r["rank"])
+        for x, y in zip(lst, lst[1:]):
+            assert x["score"] >= y["score"]
