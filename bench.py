@@ -70,7 +70,8 @@ def main() -> None:
     n_pages = max(int(20000 * sf), 200)
     t0 = time.time()
     out = build_graph(spark, synthetic_pages(spark, n_pages, seed=42,
-                                             partitions=cores * 2))
+                                             partitions=cores * 2),
+                      max_chunks=2048)
     n_triples = out["triples"].count()
     n_nodes = out["nodes"].count()
     n_edges = out["edges"].count()

@@ -75,8 +75,14 @@ def _distractor(rng: random.Random) -> str:
     return (" ".join(words)).capitalize() + "."
 
 
-def make_page(i: int, seed: int = 42) -> dict[str, Any]:
-    """Deterministic page row for global index ``i``."""
+def make_page(i: int, seed: int = 42, text_scale: int = 1) -> dict[str, Any]:
+    """Deterministic page row for global index ``i``.
+
+    ``text_scale`` appends (text_scale-1)x the base paragraph count of
+    distractor-only paragraphs (no gazetteer surfaces, so the page's fact/
+    triple set is IDENTICAL at any scale — asserted in tests). The base page
+    is ~1-3 KB of text; real web pages average 5-30 KB extracted text, so
+    scale 8 is the realistic setting used by the scaling benchmark."""
     rng = random.Random((seed << 32) ^ i)
     lang = rng.choice(_LANGS) if rng.random() < 0.10 else "en"
 
@@ -95,6 +101,9 @@ def make_page(i: int, seed: int = 42) -> dict[str, Any]:
             f"{person} runs {HOT_ENTITY}. {HOT_ENTITY} offers "
             f"{rng.choice(SERVICES)}.",
         )
+    for _ in range((text_scale - 1) * n_par):
+        paragraphs.append(
+            " ".join(_distractor(rng) for _ in range(rng.randint(2, 5))))
 
     title = f"Crawl record {i}"
     body = "\n".join(f"<p>{p}</p>" for p in paragraphs)
@@ -119,19 +128,20 @@ _SCHEMA = default_schema()
 _GAZETTEER = default_gazetteer()
 
 
-def make_pages(n: int, seed: int = 42) -> list[dict[str, Any]]:
+def make_pages(n: int, seed: int = 42, text_scale: int = 1) -> list[dict[str, Any]]:
     """Driver-side batch (tests / small fixtures only — Spark path streams)."""
-    return [make_page(i, seed) for i in range(n)]
+    return [make_page(i, seed, text_scale) for i in range(n)]
 
 
-def expected_triples(n: int, seed: int = 42) -> list[dict[str, Any]]:
+def expected_triples(n: int, seed: int = 42,
+                     text_scale: int = 1) -> list[dict[str, Any]]:
     """Golden oracle: run the shared extractor over each page (pure Python)."""
     from .textcore import extract_page_triples
 
     pats = _SCHEMA.pattern_dicts()
     out: list[dict[str, Any]] = []
     for i in range(n):
-        page = make_page(i, seed)
+        page = make_page(i, seed, text_scale)
         for t in extract_page_triples(
             page["html"], page["text"], page["lang"], pats, _GAZETTEER
         ):

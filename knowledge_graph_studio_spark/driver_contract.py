@@ -186,8 +186,11 @@ def q_semi_join_filter(spark, sf):
 def q_anti_join_validate(spark, sf):
     """E7 triple-vs-pattern validation (graph_service.py:2613-2670) as a
     left-anti join against a broadcast literal pattern set."""
+    from .functions.literals import literal_df
+
     p = _read(spark, sf, "part")
-    pats = F.broadcast(spark.createDataFrame(
+    pats = F.broadcast(literal_df(
+        spark,
         [("Brand#1", "ECONOMY"), ("Brand#2", "STANDARD"), ("Brand#3", "SMALL")],
         ["p_brand", "p_type"],
     ))
@@ -307,14 +310,10 @@ def q_dedup_exact(spark, sf):
 
 
 def _shingles(df, k: int = 3):
-    """distinct k-token shingles per doc: doc_id, shingle. Native sequence+
-    transform — no UDF."""
-    toks = _tokens()
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(k)])
-    )
-    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    """distinct k-token shingles per doc (operators/textstats.shingles)."""
+    from .operators.textstats import shingles
+
+    return shingles(df, k=k)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -352,55 +351,31 @@ def q_embedding_neardup(spark, sf):
 
 
 def q_lang_id(spark, sf):
-    """Language-ID heuristic: english stopword-ratio classifier (token-exact,
-    no replace tricks). Output label only — ints+strings."""
-    d = _read(spark, sf, "documents")
-    toks = _tokens()
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    return d.select(
-        "doc_id",
-        F.size(toks).alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
-        F.when(n_stop * 20 >= F.size(toks), F.lit("en"))
-        .otherwise(F.lit("other")).alias("lang_guess"),
-    )
+    """Language-ID heuristic (operators/textstats.lang_id)."""
+    from .operators.textstats import lang_id
+
+    return lang_id(_read(spark, sf, "documents"))
 
 
 def q_quality_score(spark, sf):
-    """Quality scoring: length/punct/mean-token-length stats as exact ints."""
-    d = _read(spark, sf, "documents")
-    toks = _tokens()
-    total_len = F.aggregate(F.transform(toks, F.length),
-                            F.lit(0), lambda acc, x: acc + x)
-    return d.select(
-        "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.floor(total_len * 100 / F.size(toks)).cast("bigint").alias("avg_token_len_x100"),
-        F.regexp_count("text", F.lit(r"[,;.!?]")).alias("n_punct"),
-    )
+    """Quality scoring (operators/textstats.quality_scores)."""
+    from .operators.textstats import quality_scores
+
+    return quality_scores(_read(spark, sf, "documents"))
 
 
 def q_token_count(spark, sf):
-    """Token counting: whitespace + BPE-ish regex ([A-Za-z]+|[0-9]|other)."""
-    d = _read(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.size(_tokens()).alias("ws_tokens"),
-        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
-        .alias("bpe_ish_tokens"),
-    )
+    """Token counting (operators/textstats.token_counts)."""
+    from .operators.textstats import token_counts
+
+    return token_counts(_read(spark, sf, "documents"))
 
 
 def q_fingerprint(spark, sf):
-    """Document fingerprint: md5 over the sorted distinct token bag."""
-    d = _read(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens()))))
-        .alias("fingerprint"),
-    )
+    """Document fingerprint (operators/textstats.fingerprints)."""
+    from .operators.textstats import fingerprints
+
+    return fingerprints(_read(spark, sf, "documents"))
 
 
 # --------------------------------------------------------------------------- #
@@ -462,9 +437,58 @@ def q_compress_triples(spark, sf):
     )
 
 
+def _cooc_edges(spark, sf):
+    """Co-occurrence triples shaped as an edges table (for E10/V2/Q9 entries)."""
+    t = q_kg_cooccurrence(spark, sf)
+    return t.select(
+        F.concat_ws("|", "head", "relation", "tail").alias("edge_id"),
+        "head", F.lit("term").alias("head_type"),
+        F.col("relation").alias("rel_type"),
+        "tail", F.lit("term").alias("tail_type"),
+    )
+
+
+def q_kg_verbalize(spark, sf):
+    """E10 triple verbalization (services/crud/triple.py:179-262) through the
+    real Arrow-batched verbalizer, oracle-checked: with single-token terms and
+    relation 'cooccurs_with' the exact output is
+    '<head> which is a term cooccurs with <tail>, a term'."""
+    from .functions.embeddings import verbalize_edges
+
+    return verbalize_edges(_cooc_edges(spark, sf)).select(
+        "head", "tail", "verbalized")
+
+
 # --------------------------------------------------------------------------- #
 # Rows-only entries (non-SQL-expressible: pipeline over synthetic pages, LSH)
 # --------------------------------------------------------------------------- #
+
+def q_kg_triple_topk(spark, sf):  # rows-only
+    """V2 + Q9: embed co-occurrence edges at 1024-d, brute-force cosine top-10
+    for a fixed query (exact; determinism asserted by the embedder tests)."""
+    from .functions.embeddings import embed_edges
+    from .plans.query import similarity_search
+
+    emb = embed_edges(_cooc_edges(spark, sf))
+    return similarity_search(
+        emb, "spark which is a term cooccurs with join, a term", k=10
+    ).select("head", "tail")
+
+
+def q_kg_query_structured(spark, sf):  # rows-only
+    """Entry C structured query (Q11+Q12) over the synthetic-crawl graph."""
+    from .pipeline import build_graph
+    from .plans.query import QueryParameters, query_graph
+    from .sources.pages import synthetic_pages
+
+    out = build_graph(spark, synthetic_pages(spark, 200, seed=42), fuzzy=False)
+    res = query_graph(out["nodes"], out["edges"],
+                      QueryParameters(entities=["person"], relations=["runs"]))
+    return res["triples"].select(
+        F.col("head_node.name").alias("head"),
+        F.col("relation.name").alias("relation"),
+        F.col("tail_node.name").alias("tail"),
+    )
 
 def q_kg_pipeline_nodes(spark, sf):  # rows-only
     """Flagship KG construction over the deterministic synthetic crawl
@@ -543,6 +567,9 @@ QUERIES: dict[str, _T] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_node_degree": q_kg_node_degree,
     "compress_triples": q_compress_triples,
+    "kg_verbalize": q_kg_verbalize,
+    "kg_triple_topk": q_kg_triple_topk,
+    "kg_query_structured": q_kg_query_structured,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "minhash_lsh": q_minhash_lsh,
@@ -733,6 +760,11 @@ ORACLE_SQL: dict[str, str] = {
                string_agg(distinct tail, ',' order by tail) as tails,
                count(*) as n_tails
         from cooc group by head, relation""",
+    "kg_verbalize": _COOC_CTE + """
+        select head, tail,
+               head || ' which is a term cooccurs with ' || tail || ', a term'
+                 as verbalized
+        from cooc""",
 }
 
 

@@ -84,10 +84,17 @@ def pages_to_triples(
                     for t in extract_pattern_triples(
                         ch["content"], patterns, gazetteer
                     ):
+                        # Deviation from the reference's in-flight shape
+                        # (builders.py records the chunk id inside all three
+                        # property dicts, then build_graph pops it back out,
+                        # graph_service.py:552): our schema carries provenance
+                        # as the explicit chunk_id column, so the dicts hold
+                        # only real properties (none for pattern extraction).
+                        # build_nodes/build_edges still pop "chunks" for
+                        # inputs that do smuggle it (from_triples entry).
                         rows.append(
                             (url, cid, t["head"], t["head_type"], t["relation"],
-                             t["tail"], t["tail_type"],
-                             {"chunks": [cid]}, {"chunks": [cid]}, {"chunks": [cid]})
+                             t["tail"], t["tail_type"], None, None, None)
                         )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -258,9 +265,12 @@ def validate_triples(
 ) -> tuple[DataFrame, DataFrame]:
     """E7 (graph_service.py:2613-2670): split triples into (valid, violating)
     by left-anti join against the broadcast pattern set."""
+    from ..functions.literals import literal_df
+
     spark = triples.sparkSession
     pat_df = F.broadcast(
-        spark.createDataFrame(
+        literal_df(
+            spark,
             [(p["head_type"], p["relation"], p["tail_type"]) for p in patterns],
             ["head_type", "relation", "tail_type"],
         )

@@ -49,19 +49,21 @@ NODE_KEY = ["name", "type"]
 # --------------------------------------------------------------------------- #
 
 def rules_to_alias_df(spark: SparkSession, rules: list) -> DataFrame:
-    """Flatten MergeNodesRule list to (from_name, node_type, to_name)."""
+    """Flatten MergeNodesRule list to (from_name, node_type, to_name).
+
+    Built as a JVM literal (functions/literals.py): workspace rule sets are
+    tiny, and a parallelize here costs a cold Python-worker fan-out per query."""
+    from ..functions.literals import literal_df
+
     rows = [
         (fn, r.node_type, r.to_node_name)
         for r in rules
         for fn in r.from_node_names
     ]
-    return spark.createDataFrame(
-        rows, T.StructType([
-            T.StructField("from_name", T.StringType(), False),
-            T.StructField("node_type", T.StringType(), False),
-            T.StructField("to_name", T.StringType(), False),
-        ])
-    )
+    if not rows:
+        return spark.createDataFrame(
+            [], "from_name string, node_type string, to_name string")
+    return literal_df(spark, rows, ["from_name", "node_type", "to_name"])
 
 
 def apply_merge_rules(triples: DataFrame, alias_df: DataFrame) -> DataFrame:
@@ -260,14 +262,15 @@ def canonical_mapping(
     spark = triples.sparkSession
     if n_pairs <= DRIVER_CC_MAX_PAIRS:
         # small alias graph: union-find on the driver, broadcast the result
+        from ..functions.literals import literal_df
+
         comp = connected_components_driver(
             [(r["src"], r["dst"]) for r in pairs.collect()]
         )
         if not comp:
             return spark.createDataFrame(
                 [], "name string, type string, canonical_name string")
-        cc = spark.createDataFrame(
-            list(comp.items()), ["member", "component"])
+        cc = literal_df(spark, list(comp.items()), ["member", "component"])
     else:
         cc = connected_components(pairs)
     pairs.unpersist()
@@ -316,7 +319,13 @@ def apply_canonical_mapping(triples: DataFrame, mapping: DataFrame) -> DataFrame
 
 def _merge_props_col(col):
     """Fold an array<map<string,array<string>>> with the commutative merge law:
-    per-key array concat, then sorted distinct (textcore.merge_string_props)."""
+    per-key array concat, then sorted distinct (textcore.merge_string_props).
+
+    Used on SMALL collections only (interactive node merge L6). The bulk
+    node/edge materialization paths use _merged_props_df instead — this
+    higher-order fold is interpreted (no whole-stage codegen for lambda
+    expressions), which measured 4-5x slower than the explode/regroup plan on
+    the hot aggregation."""
     merged = F.aggregate(
         F.filter(col, lambda m: m.isNotNull()),
         F.lit(None).cast(PROPS),
@@ -335,43 +344,104 @@ def _merge_props_col(col):
     )
 
 
+def _capped(arr, max_n: int | None):
+    return arr if max_n is None else F.slice(arr, 1, max_n)
+
+
+def _merged_props_df(rows: DataFrame, key: list[str], salt: int,
+                     max_vals: int | None = None) -> DataFrame:
+    """Merge law as flat relational ops: key -> map<string,array<string>>.
+
+    explode maps to (key, k, v) rows -> two-phase salted collect_set per
+    (key, k) -> regroup to a map via map_from_entries. Everything is a plain
+    hash aggregate (codegen'd); the salt phase bounds hot-key fan-in (the
+    "OpenAI" node's provenance arrays are web-scale hot).
+
+    ``max_vals`` caps each value list (keeping the sort-order prefix) at BOTH
+    phases, bounding the hot key's final-task work to salt*max_vals elements —
+    see build_nodes for the rationale."""
+    kv = (
+        rows.select(*key, "salt", F.explode("props").alias("k", "vs"))
+        .select(*key, "salt", "k", F.explode("vs").alias("v"))
+    )
+    partial = kv.groupBy(*key, "k", "salt").agg(
+        _capped(F.array_sort(F.collect_set("v")), max_vals).alias("vs"))
+    per_key = partial.groupBy(*key, "k").agg(
+        _capped(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("vs")))),
+            max_vals,
+        ).alias("vals"))
+    return per_key.groupBy(*key).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("k", "vals")))
+        ).alias("properties"))
+
+
 def build_nodes(
-    triples: DataFrame, graph: str = "default", salt: int = 16
+    triples: DataFrame, graph: str = "default", salt: int = 16,
+    max_chunks: int | None = None,
 ) -> DataFrame:
     """L2: endpoints -> deduped nodes with merged properties + chunk sets.
 
     Two-phase salted aggregation (skew-proof for hot entities):
       phase 1: groupBy(name, type, salt) — map-side + partial merge
       phase 2: groupBy(name, type) — merge <=salt partials per key
-    node_id = xxhash64(graph, name, type) (replaces L3's id lookup)."""
+    node_id = xxhash64(graph, name, type) (replaces L3's id lookup).
+
+    ``max_chunks``: the salt fixes groupBy skew, but a hot entity's provenance
+    ARRAY still grows linearly with the corpus (~20% of a web crawl mentions
+    the head entity -> millions of chunk ids sorted in one final task; measured
+    as the dominant straggler at 768k pages). max_chunks keeps the
+    lexicographic prefix of the chunk set at both phases, bounding final-task
+    work to salt*max_chunks, and adds an exact total in ``mention_count``.
+    Default None = exact reference semantics (the array is the full set union,
+    graph_service.py:486-493); production web-scale runs should set a cap and
+    keep full provenance in a normalized (node_id, chunk_id) side table if
+    they need it queryable."""
+    # the reference POPS "chunks" out of the property dicts before merging
+    # (graph_service.py:552 `properties.pop("chunks", [])`): chunk provenance
+    # lives in the chunks field only, never in properties. Besides parity,
+    # this keeps the hot entity's provenance out of the per-key props agg.
+    def _no_chunks(col):
+        return F.map_filter(col, lambda k, _v: k != "chunks")
+
     heads = triples.select(
         F.col("head").alias("name"), F.col("head_type").alias("type"),
-        F.col("head_properties").alias("props"), F.col("chunk_id"),
+        _no_chunks(F.col("head_properties")).alias("props"), F.col("chunk_id"),
     )
     tails = triples.select(
         F.col("tail").alias("name"), F.col("tail_type").alias("type"),
-        F.col("tail_properties").alias("props"), F.col("chunk_id"),
+        _no_chunks(F.col("tail_properties")).alias("props"), F.col("chunk_id"),
     )
     raw = heads.union(tails).withColumn(
         "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
     )
     partial = raw.groupBy("name", "type", "salt").agg(
-        _merge_props_col(F.collect_list("props")).alias("props"),
-        F.collect_set("chunk_id").alias("chunks"),
+        _capped(F.array_sort(F.collect_set("chunk_id")), max_chunks)
+        .alias("chunks"),
+        F.count("*").alias("cnt"),
     )
     final = partial.groupBy("name", "type").agg(
-        _merge_props_col(F.collect_list("props")).alias("properties"),
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))).alias("chunks"),
+        _capped(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))),
+            max_chunks,
+        ).alias("chunks"),
+        F.sum("cnt").alias("mention_count"),
     )
-    return final.select(
+    props = _merged_props_df(raw, ["name", "type"], salt, max_vals=max_chunks)
+    empty_props = F.from_json(F.lit("{}"), PROPS)
+    return final.join(props, ["name", "type"], "left").select(
         F.xxhash64(F.lit(graph), "name", "type").alias("node_id"),
         F.lit(graph).alias("graph"),
-        "name", "type", "properties", "chunks",
+        "name", "type",
+        F.coalesce("properties", empty_props).alias("properties"),
+        "chunks", "mention_count",
     )
 
 
 def build_edges(
-    triples: DataFrame, nodes: DataFrame, graph: str = "default", salt: int = 16
+    triples: DataFrame, nodes: DataFrame, graph: str = "default",
+    salt: int = 16, max_chunks: int | None = None,
 ) -> DataFrame:
     """L4: triples -> deduped edges keyed (head_id, tail_id, relation).
 
@@ -387,17 +457,26 @@ def build_edges(
         "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
     )
     partial = keyed.groupBy("head_id", "tail_id", "relation", "salt").agg(
-        _merge_props_col(F.collect_list("relation_properties")).alias("props"),
-        F.collect_set("chunk_id").alias("chunks"),
+        _capped(F.array_sort(F.collect_set("chunk_id")), max_chunks)
+        .alias("chunks"),
         F.first("head").alias("head"), F.first("head_type").alias("head_type"),
         F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
     )
     agg = partial.groupBy("head_id", "tail_id", "relation").agg(
-        _merge_props_col(F.collect_list("props")).alias("properties"),
-        F.array_distinct(F.flatten(F.collect_list("chunks"))).alias("own_chunks"),
+        _capped(F.array_distinct(F.flatten(F.collect_list("chunks"))), max_chunks)
+        .alias("own_chunks"),
         F.first("head").alias("head"), F.first("head_type").alias("head_type"),
         F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
     )
+    # reference pops "chunks" from relation_properties too (graph_service.py:
+    # ~628 in the triple-upsert phase) — provenance is the chunks field only
+    eprops = _merged_props_df(
+        keyed.select("head_id", "tail_id", "relation", "salt",
+                     F.map_filter("relation_properties",
+                                  lambda k, _v: k != "chunks").alias("props")),
+        ["head_id", "tail_id", "relation"], salt, max_vals=max_chunks)
+    agg = agg.join(eprops, ["head_id", "tail_id", "relation"], "left").withColumn(
+        "properties", F.coalesce("properties", F.from_json(F.lit("{}"), PROPS)))
     n = nodes.select(F.col("node_id"), F.col("chunks"))
     out = (
         agg.join(n.withColumnRenamed("chunks", "_hc"),

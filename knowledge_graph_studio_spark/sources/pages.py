@@ -38,16 +38,20 @@ PAGES_SCHEMA = T.StructType(
 
 
 def synthetic_pages(
-    spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession, n: int, seed: int = 42,
+    partitions: int | None = None, text_scale: int = 1,
 ) -> DataFrame:
-    """Deterministic distributed pages table (pure function of (seed, index))."""
+    """Deterministic distributed pages table (pure function of (seed, index)).
+
+    ``text_scale`` pads pages with distractor-only paragraphs to realistic web
+    page sizes without changing the fact/triple set (corpus.make_page)."""
     partitions = partitions or spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from knowledge_graph_studio_spark.corpus import make_page
 
         for pdf in batches:
-            rows = [make_page(int(i), seed) for i in pdf["id"]]
+            rows = [make_page(int(i), seed, text_scale) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just plans
+that pass. Checks predicate pushdown to parquet, broadcast join selection,
+and that the lang filter reaches the scan under the fused extraction stage."""
+
+import pytest
+
+from knowledge_graph_studio_spark.pipeline import triples_from_pages
+from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    from knowledge_graph_studio_spark.driver_contract import q_filter_predicate
+
+    plan = _plan(q_filter_predicate(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:400], \
+        "range predicate must be pushed to the scan"
+
+
+def test_column_pruning_reads_only_needed_cols(spark, sf_dir):
+    from knowledge_graph_studio_spark.driver_contract import q_group_agg
+
+    plan = _plan(q_group_agg(spark, sf_dir))
+    read = plan.split("ReadSchema")[1][:300]
+    assert "o_custkey" in read and "o_totalprice" in read
+    assert "o_comment" not in read, "unused wide column must be pruned"
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    from knowledge_graph_studio_spark.driver_contract import q_fk_join_hydration
+
+    plan = _plan(q_fk_join_hydration(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, \
+        "nation and region joins must be broadcast, not shuffle"
+
+
+def test_lang_filter_pushed_below_extraction(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    synthetic_pages(spark, 50, seed=3, partitions=2).write.parquet(path)
+    pages = spark.read.parquet(path)
+    t = triples_from_pages(spark, pages)
+    plan = _plan(t)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:300], \
+        "lang IN (...) must reach the parquet scan, not run post-UDF"
+
+
+def test_rule_join_is_broadcast(spark):
+    pages = synthetic_pages(spark, 50, seed=3, partitions=2)
+    plan = _plan(triples_from_pages(spark, pages))
+    assert "BroadcastHashJoin" in plan, "L1 alias map must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    from knowledge_graph_studio_spark.driver_contract import q_pricing_summary
+
+    df = q_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE reveals the final plan only after execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes mark WholeStageCodegen spans in the plan string; both
+    # the partial and final HashAggregate must be inside one
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan

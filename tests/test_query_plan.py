@@ -1,0 +1,145 @@
+"""Entry C query layer (Q7/Q9/Q11-Q16/Q18) + Cypher export (S10)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledge_graph_studio_spark.io.cypher import (
+    escape_string, export_cypher, generate_cypher_statements,
+)
+from knowledge_graph_studio_spark.pipeline import build_graph
+from knowledge_graph_studio_spark.plans.query import (
+    QueryParameters, compress_triples, graph_chunk_ids, hydrate_triples,
+    list_relations, paginate, query_graph, relevance_filter,
+    similarity_search, structured_filter, unique_nodes_of,
+)
+from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pages = synthetic_pages(spark, 120, seed=42, partitions=8)
+    out = build_graph(spark, pages, fuzzy=False)
+    out["nodes"] = out["nodes"].persist()
+    out["edges"] = out["edges"].persist()
+    return out
+
+
+def test_structured_filter_entities_and_relations(graph):
+    edges = structured_filter(
+        graph["nodes"], graph["edges"],
+        entities=["person"], relations=["runs"])
+    rows = edges.collect()
+    assert rows, "person-runs edges must exist in the corpus"
+    assert all(r["rel_type"] == "runs" for r in rows)
+    # every edge touches a person node (head side for this pattern)
+    person_ids = {r["node_id"] for r in
+                  graph["nodes"].filter("type = 'person'").collect()}
+    assert all(r["head_id"] in person_ids or r["tail_id"] in person_ids
+               for r in rows)
+
+
+def test_structured_filter_values_narrows(graph):
+    person = graph["nodes"].filter("type = 'person'").limit(1).collect()[0]
+    edges = structured_filter(
+        graph["nodes"], graph["edges"],
+        entities=["person"], values=[person["name"]])
+    assert edges.count() > 0
+    assert all(
+        r["head"] == person["name"] or r["tail"] == person["name"]
+        for r in edges.collect())
+
+
+def test_hydration_nested_shape_and_unique_nodes(graph):
+    filtered = structured_filter(graph["nodes"], graph["edges"],
+                                 relations=["runs"])
+    hyd = hydrate_triples(filtered, graph["nodes"])
+    row = hyd.limit(1).collect()[0]
+    assert row["head_node"]["name"] and row["head_node"]["type"]
+    assert row["relation"]["name"] == "runs"
+    assert row["tail_node"]["node_id"] is not None
+    uniq = unique_nodes_of(filtered, graph["nodes"])
+    n_end = filtered.select("head_id").union(
+        filtered.select("tail_id")).distinct().count()
+    assert uniq.count() == n_end
+
+
+def test_similarity_search_finds_own_verbalization(graph):
+    from knowledge_graph_studio_spark.functions.embeddings import embed_edges
+
+    emb = embed_edges(graph["edges"]).persist()
+    target = emb.limit(1).collect()[0]
+    top = similarity_search(emb, target["verbalized"], k=5).collect()
+    assert top[0]["edge_id"] == target["edge_id"]
+    assert top[0]["score"] > 0.999
+
+
+def test_relevance_filter_token_overlap(spark):
+    df = spark.createDataFrame(
+        [("e1", "Ada Lovelace which is a person runs Acme Corp, a company"),
+         ("e2", "Globex which is a company offers cloud hosting, a service")],
+        ["edge_id", "verbalized"])
+    kept = relevance_filter(df, "who runs acme?", min_overlap=2).collect()
+    assert [r["edge_id"] for r in kept] == ["e1"]
+
+
+def test_query_graph_structured_and_text_paths(graph):
+    # structured-only: no content -> all filtered triples hydrated
+    res = query_graph(graph["nodes"], graph["edges"],
+                      QueryParameters(relations=["runs"]))
+    assert res["answer"] is None
+    assert res["triples"].count() == \
+        graph["edges"].filter("rel_type = 'runs'").count()
+
+    # text path: ask about a real head entity
+    edge = graph["edges"].filter("rel_type = 'runs'").limit(1).collect()[0]
+    res2 = query_graph(
+        graph["nodes"], graph["edges"],
+        QueryParameters(content=f"who runs {edge['tail']}?",
+                        relations=["runs"], return_answer=True, limit=16))
+    names = {(r["head_node"]["name"], r["tail_node"]["name"])
+             for r in res2["triples"].collect()}
+    assert any(t == edge["tail"] for _h, t in names)
+    assert res2["answer"].startswith("Q: who runs")
+
+
+def test_list_relations_excludes_contains(spark, graph):
+    extra = graph["edges"].limit(1).withColumn("rel_type", F.lit("Contains"))
+    rels = {r["rel_type"]
+            for r in list_relations(graph["edges"].union(extra)).collect()}
+    assert "Contains" not in rels
+    assert "runs" in rels
+
+
+def test_compress_and_paginate_and_chunks(graph):
+    comp = compress_triples(graph["edges"])
+    row = comp.filter(F.col("tails").contains(",")).limit(1).collect()
+    if row:  # multi-tail groups exist in a 120-page corpus
+        tails = row[0]["tails"].split(",")
+        assert tails == sorted(tails)
+    page = paginate(graph["edges"], "edge_id", skip=2, limit=3,
+                    descending=False).collect()
+    assert len(page) == 3
+    allrows = [r["edge_id"] for r in
+               graph["edges"].orderBy("edge_id").collect()]
+    assert [r["edge_id"] for r in page] == allrows[2:5]
+    ch = graph_chunk_ids(graph["nodes"], graph["edges"])
+    assert ch.count() == ch.distinct().count() > 0
+
+
+def test_cypher_export_format_and_escaping(graph):
+    stmts = export_cypher(graph["edges"].filter("rel_type = 'runs'").limit(3))
+    assert stmts[0].startswith("CREATE CONSTRAINT unique_")
+    merges = [s for s in stmts if s.startswith("MERGE")]
+    assert merges and all(s.endswith("->(t);") for s in merges)
+    # escaping law (reference doctest, utilities/cypher_export.py:94-133)
+    assert escape_string("Alice's \"quote\"") == 'Alice\\\'s \\"quote\\"'
+    out = generate_cypher_statements([
+        {"head_node": {"label": "Person", "name": "Alice"},
+         "relation": {"name": "KNOWS"},
+         "tail_node": {"label": "Person", "name": "Bob"}}])
+    assert out == [
+        "CREATE CONSTRAINT unique_Person_name IF NOT EXISTS "
+        "FOR (n:Person) REQUIRE n.name IS UNIQUE;",
+        "MERGE (h:Person {name: 'Alice'}) MERGE (t:Person {name: 'Bob'}) "
+        "MERGE (h)-[:`KNOWS`]->(t);",
+    ]

@@ -1,0 +1,53 @@
+"""operators/textstats + functions/literals unit checks."""
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_studio_spark.functions.literals import literal_df
+from knowledge_graph_studio_spark.operators.textstats import (
+    fingerprints, lang_id, quality_scores, shingles, token_counts,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [("d1", "the cat sat on the mat, and that is that."),
+         ("d2", "zyx wvu tsr qpo nml")],
+        ["doc_id", "text"])
+
+
+def test_lang_id_stopword_ratio(spark):
+    out = {r["doc_id"]: r for r in lang_id(_docs(spark)).collect()}
+    assert out["d1"]["lang_guess"] == "en"
+    assert out["d2"]["lang_guess"] == "other"
+    assert out["d2"]["n_stopwords"] == 0
+
+
+def test_quality_and_token_counts_are_ints(spark):
+    q = {r["doc_id"]: r for r in quality_scores(_docs(spark)).collect()}
+    assert q["d1"]["n_punct"] == 2  # ',' and the final '.'
+    t = {r["doc_id"]: r for r in token_counts(_docs(spark)).collect()}
+    assert t["d2"]["ws_tokens"] == 5
+    assert t["d2"]["bpe_ish_tokens"] == 5
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "gamma beta alpha alpha")],
+        ["doc_id", "text"])
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(df).collect()}
+    assert fp["a"] == fp["b"]
+
+
+def test_shingles_distinct_per_doc(spark):
+    df = spark.createDataFrame([("a", "x y z x y z x y")], ["doc_id", "text"])
+    rows = {r["shingle"] for r in shingles(df, k=3).collect()}
+    assert rows == {"x_y_z", "y_z_x", "z_x_y"}
+
+
+def test_literal_df_values_and_single_task(spark):
+    df = literal_df(spark, [("a", 1), ("b", 2)], ["k", "v"])
+    assert sorted((r["k"], r["v"]) for r in df.collect()) == [("a", 1), ("b", 2)]
+    assert df.rdd.getNumPartitions() == 1
+    # joins like any other DF
+    big = spark.range(5).withColumn("k", F.lit("a"))
+    assert big.join(F.broadcast(df), "k").count() == 5
