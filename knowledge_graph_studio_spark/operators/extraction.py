@@ -238,8 +238,45 @@ def extract_structured_triples(
 
 
 # --------------------------------------------------------------------------- #
-# Schema ops (E6/E7/E8)
+# Schema ops (E5/E6/E7/E8)
 # --------------------------------------------------------------------------- #
+
+def generate_schema_from_questions(
+    questions: list[str],
+    entity_vocab: dict[str, str],
+    relation_vocab: dict[str, tuple[str, str, str]],
+) -> dict:
+    """E5 schema generation from user questions (utilities/builders.py:579-758
+    prompts gpt-4o with the Pydantic source and JSON-parses the reply; here a
+    deterministic keyword matcher with the same contract: questions -> schema
+    dict with entities/relations/patterns, deduped by name and pattern key).
+
+    entity_vocab: surface keyword -> entity type ("ceo" -> "person").
+    relation_vocab: relation keyword -> (head_type, relation, tail_type).
+    Driver-side (questions are human-scale, never a distributed input)."""
+    ents: dict[str, dict] = {}
+    rels: dict[str, dict] = {}
+    pats: dict[tuple, dict] = {}
+    for q in questions:
+        toks = set(q.lower().replace("?", " ").replace(",", " ").split())
+        hit_ents = {t for kw, t in entity_vocab.items() if kw in toks}
+        for kw, (ht, rel, tt) in relation_vocab.items():
+            if kw not in toks and kw.replace("_", " ") not in q.lower():
+                continue
+            hit_ents.update((ht, tt))
+            rels.setdefault(rel, {"name": rel, "description": f"from: {q}"})
+            pats.setdefault(
+                (ht, rel, tt),
+                {"head_type": ht, "relation": rel, "tail_type": tt,
+                 "description": f"from: {q}"})
+        for e in hit_ents:
+            ents.setdefault(e, {"name": e, "description": f"from: {q}"})
+    return {
+        "entities": [ents[k] for k in sorted(ents)],
+        "relations": [rels[k] for k in sorted(rels)],
+        "patterns": [pats[k] for k in sorted(pats)],
+    }
+
 
 def induce_schema(triples: DataFrame) -> dict:
     """E6 (graph_service.py:2545-2610): distinct types/relations/patterns ->
