@@ -202,20 +202,44 @@ def q_anti_join_validate(spark, sf):
 
 def q_fuzzy_pairs(spark, sf):
     """Q10/L7 fuzzy duplicate candidates ($search maxEdits=1 analog,
-    graph_service.py:2184-2231): levenshtein<=1 self-join with length+prefix
-    blocking (here all names share block — worst case bounded by block size)."""
+    graph_service.py:2184-2231): equal-length levenshtein<=1 pairs.
+
+    Blocking is the SymSpell/FastSS deletion neighborhood — exact for one
+    edit: two strings within lev 1 share a key in (deletion-variants ∪ self)
+    (substitution: delete the differing char from both; indel: the longer's
+    variant equals the shorter). O(n * len) keys, equi-join on key, exact
+    levenshtein only on candidates — linear where any prefix/length blocking
+    degenerates to O(n^2) on TPC-H's constant-prefix 'Customer#...' names."""
     c = _read(spark, sf, "customer").select("c_custkey", "c_name")
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(
-            b,
-            (F.length("a.c_name") == F.length("b.c_name"))
-            & (F.substring("a.c_name", 1, 1) == F.substring("b.c_name", 1, 1))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("c_name")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("c_name")),
+                lambda i: F.concat(
+                    F.col("c_name").substr(F.lit(1), i - 1),
+                    F.col("c_name").substr(i + 1, F.length("c_name")),
+                ),
+            ),
         )
-        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+    )
+    keyed = c.select(
+        "c_custkey", "c_name", F.length("c_name").alias("len"),
+        F.explode(variants).alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.len") == F.col("b.len"))
+               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
         .select(F.col("a.c_custkey").alias("custkey_a"),
-                F.col("b.c_custkey").alias("custkey_b"))
+                F.col("b.c_custkey").alias("custkey_b"),
+                F.col("a.c_name").alias("na"), F.col("b.c_name").alias("nb"))
+        .dropDuplicates(["custkey_a", "custkey_b"])
+    )
+    return (
+        cand.filter(F.levenshtein("na", "nb") <= 1)
+        .select("custkey_a", "custkey_b")
     )
 
 
@@ -535,6 +559,17 @@ def q_ann_lsh_topk(spark, sf):  # rows-only
     return ann_lsh_topk(e.filter("vec_id <> 0"), q, k=20).select("qid", "vec_id")
 
 
+def q_ann_ivf_topk(spark, sf):  # rows-only
+    """IVF coarse-cell approximate top-k (second ANN scale path; recall vs
+    brute force asserted in tests/test_similarity.py)."""
+    from .operators.similarity import ann_ivf_topk
+
+    e = _read(spark, sf, "embeddings")
+    q = e.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), "embedding")
+    return ann_ivf_topk(e.filter("vec_id <> 0"), q, k=20,
+                        n_cells=16, n_probe=4).select("qid", "vec_id")
+
+
 # --------------------------------------------------------------------------- #
 # Registry + oracle SQL
 # --------------------------------------------------------------------------- #
@@ -575,6 +610,7 @@ QUERIES: dict[str, _T] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 _GAZ_SQL = ",".join(f"'{t}'" for t in GAZ_TERMS)
@@ -658,7 +694,6 @@ ORACLE_SQL: dict[str, str] = {
         select a.c_custkey as custkey_a, b.c_custkey as custkey_b
         from customer a join customer b
           on len(a.c_name) = len(b.c_name)
-         and substr(a.c_name,1,1) = substr(b.c_name,1,1)
          and a.c_custkey < b.c_custkey
         where levenshtein(a.c_name, b.c_name) <= 1""",
     "window_rank": """

@@ -102,35 +102,49 @@ def fuzzy_candidate_pairs(
     become levenshtein <= 1 with a minimum length (short names produce spurious
     edit-distance-1 matches exactly like low fuzzy scores do).
 
-    Blocking: join on (type, lower first char, length bucket) so the self-join
-    is linear-ish, never O(n^2) — names differing by one edit share either the
-    first character or a length within 1, so we block on first char and accept
-    the tiny recall loss on first-char edits (documented deviation; the
-    reference's $search index has analogous analyzer-dependent recall limits).
-    """
+    Blocking is the SymSpell/FastSS deletion neighborhood — EXACT for one
+    edit and never O(n^2): any two strings within levenshtein 1 share a key
+    in (single-char-deletion variants ∪ the string itself): substitutions
+    share the variant with the differing char deleted, indels share
+    (longer's variant == shorter). O(n * len) keys, one equi-join on
+    (type, key), exact distance only on candidates. Immune to shared-prefix
+    name distributions that break prefix/length blocking."""
+    assert max_edits == 1, "deletion-neighborhood blocking implemented for 1"
     base = (
         names.select("name", "type")
         .filter(F.length("name") >= min_len)
-        .withColumn("block", F.lower(F.substring("name", 1, 1)))
         .withColumn("lname", F.lower("name"))
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.type") == F.col("b.type"))
-            & (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.name") < F.col("b.name"))
-            & (F.abs(F.length("a.name") - F.length("b.name")) <= max_edits),
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("lname")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("lname")),
+                lambda i: F.concat(
+                    F.col("lname").substr(F.lit(1), i - 1),
+                    F.col("lname").substr(i + 1, F.length("lname")),
+                ),
+            ),
         )
-        .filter(F.levenshtein(F.col("a.lname"), F.col("b.lname")) <= max_edits)
+    )
+    keyed = base.select("name", "type", "lname",
+                        F.explode(variants).alias("key"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(b, (F.col("a.type") == F.col("b.type"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.name") < F.col("b.name")))
+        .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"),
+                F.col("a.type").alias("type"),
+                F.col("a.lname").alias("la"), F.col("b.lname").alias("lb"))
+        .dropDuplicates(["src", "dst", "type"])
+    )
+    return (
+        cands.filter(F.levenshtein("la", "lb") <= max_edits)
         .select(
-            F.col("a.name").alias("src"),
-            F.col("b.name").alias("dst"),
-            F.col("a.type").alias("type"),
-            (1.0 - F.levenshtein(F.col("a.lname"), F.col("b.lname"))
-             / F.greatest(F.length("a.name"), F.length("b.name"))).alias("similarity"),
+            "src", "dst", "type",
+            (1.0 - F.levenshtein("la", "lb")
+             / F.greatest(F.length("src"), F.length("dst"))).alias("similarity"),
         )
     )
 

@@ -159,6 +159,87 @@ def lsh_bucket_keys(
     return stacked.select(F.col("_id").alias(id_col), "tb.table_id", "tb.bucket")
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, cell) — assign each vector to its n_probe nearest centroids
+    (IVF coarse quantization). Centroids broadcast; assignment is one numpy
+    GEMM per Arrow batch."""
+    sc = df.sparkSession.sparkContext
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    b_cent = sc.broadcast(cn)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = b_cent.value
+        for pdf in batches:
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            ids = np.repeat(pdf["_id"].to_numpy(dtype=np.int64), n_probe)
+            yield pd.DataFrame({"_id": ids, "cell": top.reshape(-1)})
+
+    schema = T.StructType([T.StructField("_id", T.LongType()),
+                           T.StructField("cell", T.IntegerType())])
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col(vec_col).alias("_vec"))
+    return src.mapInPandas(run, schema=schema).select(
+        F.col("_id").alias(id_col), "cell")
+
+
+def ivf_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
+                  seed: int = 7) -> "np.ndarray":
+    """Seeded-sample centroids (k-means|| would refine these on a real run;
+    random sample is the standard cheap initialization and is adequate for
+    coarse IVF cells)."""
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(k).collect()
+    )
+    return np.array([r[0] for r in rows], dtype=np.float64)
+
+
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k: vectors are bucketed into n_cells coarse cells;
+    each query probes its n_probe nearest cells and scores only those vectors
+    exactly. The 100 TB shape: cells partition the corpus, queries broadcast,
+    per-cell candidate lists bound the exact-scoring work (same role as the
+    reference's numCandidates knob, crud/chunks.py:96)."""
+    cent = ivf_centroids(vectors, n_cells, vec_col, seed)
+    v_cells = ivf_assign(vectors, cent, vec_col, id_col, n_probe=1)
+    q_cells = ivf_assign(
+        queries.select(F.col(qid_col).alias("vec_id"), F.col(vec_col)),
+        cent, vec_col, "vec_id", n_probe=n_probe,
+    ).select(F.col("vec_id").alias("qid"), "cell")
+    cand = v_cells.join(F.broadcast(q_cells), "cell").select("qid", id_col)
+    qv = queries.select(F.col(qid_col).alias("qid"),
+                        F.col(vec_col).alias("_qvec"))
+    scored = (
+        cand.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(qv), "qid")
+        .select("qid", F.col(id_col).alias("vec_id"),
+                cosine_col(F.col(vec_col), F.col("_qvec")).alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k)
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -135,3 +135,20 @@ def test_merge_nodes_interactive_l6(spark):
     assert merged["properties"]["k"] == ["1", "2"]
     assert new_edges.filter(F.col("head_id") == ids["A2"]).count() == 0
     assert new_edges.filter(F.col("head_id") == ids["A"]).count() == 2
+
+
+def test_fuzzy_pairs_exact_recall_for_first_char_indels(spark):
+    # a first-character insertion was missed by prefix blocking; the
+    # deletion-neighborhood join is exact for one edit
+    names = spark.createDataFrame(
+        [("Acme", "company", 5), ("xAcme", "company", 1),
+         ("Globex", "company", 3), ("Globbex", "company", 1),  # mid insert
+         ("OpenAI", "company", 9), ("OpenAL", "company", 1)],  # substitution
+        ["name", "type", "freq"],
+    )
+    got = {(r["src"], r["dst"])
+           for r in fuzzy_candidate_pairs(names).collect()}
+    assert ("Acme", "xAcme") in got
+    assert ("Globbex", "Globex") in got or ("Globex", "Globbex") in got
+    assert ("OpenAI", "OpenAL") in got or ("OpenAL", "OpenAI") in got
+    assert all({"Acme", "OpenAI"} != {a, b} for a, b in got)

@@ -70,3 +70,26 @@ def test_ann_lsh_recall(spark, emb):
         lst = sorted(lst, key=lambda r: r["rank"])
         for x, y in zip(lst, lst[1:]):
             assert x["score"] >= y["score"]
+
+
+def test_ann_ivf_topk_recall(spark):
+    from knowledge_graph_studio_spark.operators.similarity import (
+        ann_ivf_topk, brute_force_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vectors = e.filter("vec_id <> 0")
+    queries = e.filter("vec_id = 0").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    exact = {r["vec_id"] for r in
+             brute_force_topk(vectors, queries, k=10).collect()}
+    approx = {r["vec_id"] for r in
+              ann_ivf_topk(vectors, queries, k=10, n_cells=8,
+                           n_probe=4).collect()}
+    # probing half the cells must recover most of the exact top-10
+    assert len(exact & approx) >= 6
+    # full probe = exact
+    full = {r["vec_id"] for r in
+            ann_ivf_topk(vectors, queries, k=10, n_cells=8,
+                         n_probe=8).collect()}
+    assert full == exact
