@@ -411,6 +411,46 @@ def extract_pattern_triples(
     return out
 
 
+_ZS_REL_RE = re.compile(r"[^0-9a-zA-Z ]+")
+
+
+def extract_zeroshot_triples(
+    text: str, gazetteer: dict[str, tuple[str, str]], max_rel_words: int = 3
+) -> list[dict[str, str]]:
+    """Zero-shot (schema-free) extraction — deterministic stand-in for the
+    reference's free-context LLM mode (utilities/builders.py:236-265, parsed
+    by parse_response_into_triples :201-234 with its `count(",")==2` guard).
+
+    For each sentence and each ordered mention pair, the relation is the
+    cleaned text between the mentions when it is 1..max_rel_words words —
+    the structural analog of accepting only well-formed "head,rel,tail"
+    lines. Types come from the gazetteer; dedup per chunk, stable order."""
+    out: list[dict[str, str]] = []
+    seen: set[tuple[str, str, str]] = set()
+    for _off, sent in sentences(text):
+        mentions = detect_mentions(sent, gazetteer)
+        for i, hm in enumerate(mentions):
+            for tm in mentions[i + 1:]:
+                if hm["name"] == tm["name"]:
+                    continue
+                between = sent[hm["start"] + len(hm["surface"]): tm["start"]]
+                rel = _ZS_REL_RE.sub(" ", between)
+                rel = re.sub(r" +", " ", rel).strip().lower()
+                words = rel.split()
+                if not 1 <= len(words) <= max_rel_words:
+                    continue
+                key = (hm["name"], rel, tm["name"])
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append(
+                    {"head": hm["name"], "head_type": hm["type"],
+                     "relation": rel,
+                     "tail": tm["name"], "tail_type": tm["type"]}
+                )
+    return out
+
+
 def extract_page_triples(
     html: bytes | str | None,
     text: str | None,

@@ -93,3 +93,22 @@ def test_mention_longest_surface_wins():
     gaz = {"open ai": ("Open AI", "company"), "ai": ("AI", "field")}
     ms = tc.detect_mentions("Open AI is here", gaz)
     assert [m["name"] for m in ms] == ["Open AI"]
+
+
+def test_zeroshot_extraction_e3():
+    from knowledge_graph_studio_spark.textcore import extract_zeroshot_triples
+
+    gaz = {"ada lovelace": ("Ada Lovelace", "person"),
+           "acme corp": ("Acme Corp", "company"),
+           "globex": ("Globex", "company")}
+    text = ("Ada Lovelace founded Acme Corp. "
+            "Acme Corp later merged quietly and amicably with Globex over many years. "
+            "Globex thrived.")
+    got = extract_zeroshot_triples(text, gaz)
+    assert {"head": "Ada Lovelace", "head_type": "person",
+            "relation": "founded",
+            "tail": "Acme Corp", "tail_type": "company"} in got
+    # 8-word gap exceeds the max_rel_words guard (the "count(',')==2" analog)
+    assert not any(t["head"] == "Acme Corp" and t["tail"] == "Globex"
+                   for t in got)
+    assert extract_zeroshot_triples(text, gaz) == got  # deterministic
