@@ -70,6 +70,10 @@ def main() -> None:
     # measurement above the fixed-overhead regime so triples/sec reflects
     # steady-state throughput, not session startup)
     n_pages = max(int(200000 * sf), 2000)
+    # warm the per-core Python workers (long-lived on a real cluster) so the
+    # KG number is steady-state, matching tools/scaling_bench.py methodology
+    build_graph(spark, synthetic_pages(spark, 32 * cores, seed=1,
+                                       partitions=cores))["edges"].count()
     t0 = time.time()
     out = build_graph(spark, synthetic_pages(spark, n_pages, seed=42,
                                              partitions=cores * 2),
