@@ -187,6 +187,45 @@ def summarise(verbalized_rows: list[str], question: str) -> str:
 # Q15/Q16/Q18/Q7 — provenance, listings, compression, pagination
 # --------------------------------------------------------------------------- #
 
+def hydrate_chunk_contents(
+    df: DataFrame, chunks: DataFrame, limit: int = 8,
+    chunks_col: str = "chunks",
+) -> DataFrame:
+    """Q16/include_chunks: attach the first ``limit`` chunk contents to rows
+    carrying a chunk-id array (the reference slices 8 chunk docs per triple
+    for LLM context, graph_service.py:1762-1768; chunk $lookup chains
+    crud/triple.py:31-176, crud/node.py:116-212).
+
+    Shape: slice BEFORE exploding (bounds the join fan-out per row), join the
+    chunks table on chunk_id, regroup by the row's unique ``key_col`` (maps/
+    arrays can't be groupBy keys) and join the contents back."""
+    return _hydrate_chunk_contents(df, chunks, limit, chunks_col, "edge_id")
+
+
+def _hydrate_chunk_contents(df, chunks, limit, chunks_col, key_col):
+    sliced = df.select(
+        key_col, F.explode(F.slice(F.col(chunks_col), 1, limit)).alias("_cid"))
+    joined = sliced.join(
+        chunks.select(F.col("chunk_id").alias("_cid"),
+                      F.col("content").alias("_content")),
+        "_cid", "left")
+    contents = (
+        joined.groupBy(key_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_cid", "_content")))
+             .alias("_cc"))
+        .select(key_col,
+                F.transform("_cc", lambda s: s["_content"])
+                .alias("chunk_contents"))
+    )
+    return df.join(contents, key_col, "left")
+
+
+def node_chunk_contents(nodes: DataFrame, chunks: DataFrame,
+                        limit: int = 8) -> DataFrame:
+    """Q16 node variant (crud/node.py:116-212)."""
+    return _hydrate_chunk_contents(nodes, chunks, limit, "chunks", "node_id")
+
+
 def graph_chunk_ids(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """Distinct chunk ids referenced by a graph's nodes+edges
     (crud/graph.py:588-723 itertools.chain + set)."""

@@ -143,3 +143,20 @@ def test_cypher_export_format_and_escaping(graph):
         "MERGE (h:Person {name: 'Alice'}) MERGE (t:Person {name: 'Bob'}) "
         "MERGE (h)-[:`KNOWS`]->(t);",
     ]
+
+
+def test_hydrate_chunk_contents_slice8(spark, graph):
+    from knowledge_graph_studio_spark.operators.chunking import pages_to_chunks
+    from knowledge_graph_studio_spark.plans.query import (
+        hydrate_chunk_contents, node_chunk_contents,
+    )
+
+    chunks = pages_to_chunks(synthetic_pages(spark, 120, seed=42, partitions=8))
+    out = hydrate_chunk_contents(graph["edges"], chunks, limit=8)
+    rows = out.collect()
+    assert all(len(r["chunk_contents"]) <= 8 for r in rows)
+    busiest = max(rows, key=lambda r: len(r["chunks"]))
+    assert len(busiest["chunk_contents"]) == min(8, len(busiest["chunks"]))
+    assert all(c is not None for c in busiest["chunk_contents"])
+    n_out = node_chunk_contents(graph["nodes"], chunks, limit=3).collect()
+    assert all(len(r["chunk_contents"]) <= 3 for r in n_out)
