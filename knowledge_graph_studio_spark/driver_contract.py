@@ -342,10 +342,16 @@ def _shingles(df, k: int = 3):
 
 def q_dedup_ngram_jaccard(spark, sf):
     """N-gram (3-token shingle) Jaccard near-dup pairs, J >= 0.5.
-    Scale: inverted-index join on shingle (never O(n^2) docs); hot shingles
-    would be dropped by a frequency cap at web scale (cap not needed at SF)."""
+    Scale: inverted-index join on shingle (never O(n^2) docs) behind a
+    hot-shingle document-frequency cap (operators/dedup.cap_shingle_df —
+    broadcast anti-join, dropped shingles logged). The cap (1000) is far
+    above the sf0.01 max df (7), so it never binds here and the DuckDB
+    oracle, which has no cap, still matches; at web scale it is the guard
+    against the f^2 template-shingle pair explosion."""
+    from .operators.dedup import cap_shingle_df
+
     d = _read(spark, sf, "documents")
-    sh = _shingles(d).persist()
+    sh = cap_shingle_df(_shingles(d).persist(), max_df=1000).persist()
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -365,9 +371,9 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_embedding_neardup(spark, sf):
-    """Embedding-cosine near-dup pairs (cos >= 0.4): blocked-GEMM all-pairs
-    (operators/similarity.cosine_allpairs — the dense kernel that runs within
-    LSH/IVF buckets at web scale)."""
+    """Embedding-cosine near-dup pairs (cos >= 0.4): exact distributed
+    block-pair GEMM (operators/similarity.cosine_allpairs — no driver
+    collect; cosine_neardup_lsh is the sub-quadratic approximate path)."""
     from .operators.similarity import cosine_allpairs
 
     e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
@@ -522,7 +528,10 @@ def q_kg_pipeline_nodes(spark, sf):  # rows-only
 
     pages = synthetic_pages(spark, 200, seed=42)
     out = build_graph(spark, pages, fuzzy=False)
-    return out["nodes"].select("name", "type", "chunks")
+    # chunks is array_sort'ed by the merge law, so the joined string is
+    # deterministic; the driver's pandas canonicalizer cannot hash lists.
+    return out["nodes"].select(
+        "name", "type", F.concat_ws(",", "chunks").alias("chunks"))
 
 
 def q_kg_pipeline_edges(spark, sf):  # rows-only
@@ -531,7 +540,9 @@ def q_kg_pipeline_edges(spark, sf):  # rows-only
 
     pages = synthetic_pages(spark, 200, seed=42)
     out = build_graph(spark, pages, fuzzy=False)
-    return out["edges"].select("head", "rel_type", "tail", "chunks")
+    return out["edges"].select(
+        "head", "rel_type", "tail",
+        F.concat_ws(",", "chunks").alias("chunks"))
 
 
 def q_minhash_lsh(spark, sf):  # rows-only

@@ -22,8 +22,12 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 
 def token_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -36,6 +40,33 @@ def token_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
     return df.select(F.col(id_col).alias("doc_id"),
                      F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def cap_shingle_df(sh: DataFrame, max_df: int, log: bool = True) -> DataFrame:
+    """Hot-shingle guard: drop shingles whose document frequency exceeds
+    ``max_df``. A shingle shared by f docs creates ~f^2/2 candidate pairs in
+    any inverted-index join — one boilerplate/template shingle at web scale
+    is a quadratic skew bomb. Dropping ultra-common shingles barely moves
+    Jaccard for genuine near-dups (a boilerplate shingle inflates
+    intersection and union together) and is standard stop-shingle practice.
+
+    Not silent: with log=True the count of dropped shingles and the max df
+    seen are computed (one cheap aggregation over the already-grouped
+    frequency table — persist ``sh`` first so the pass is cheap) and logged
+    driver-side. The filter itself is a broadcast left-anti join: only the
+    (tiny) hot-shingle set moves, ``sh`` is not shuffled."""
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = dfreq.filter(F.col("df") > max_df)
+    if log:
+        stats = hot.agg(F.count("*").alias("n_hot"),
+                        F.max("df").alias("worst")).collect()[0]
+        if stats["n_hot"]:
+            _LOG.warning(
+                "cap_shingle_df: dropping %d shingles with df > %d (worst df %d)",
+                stats["n_hot"], max_df, stats["worst"])
+        else:
+            _LOG.info("cap_shingle_df: cap %d did not bind", max_df)
+    return sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
@@ -135,13 +166,20 @@ def minhash_lsh_candidates(
 
 
 def minhash_neardup_pairs(
-    df: DataFrame, jaccard_threshold: float = 0.5, **kw
+    df: DataFrame, jaccard_threshold: float = 0.5,
+    max_shingle_df: int = 1000, **kw
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard (candidates-only join,
-    the scale-correct version of the all-pairs oracle)."""
+    the scale-correct version of the all-pairs oracle). The verification join
+    goes back through the raw shingle index, so it gets the same hot-shingle
+    document-frequency cap as the exact path (cap_shingle_df — logged, not
+    silent); sizes are computed over the capped shingle universe so Jaccard
+    stays consistent."""
     cands = minhash_lsh_candidates(df, **kw)
     sh = token_shingles(df, kw.get("id_col", "doc_id"), kw.get("text_col", "text"),
-                        k=kw.get("shingle_k", 3))
+                        k=kw.get("shingle_k", 3)).persist()
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "shingle")
     b = sh.select(F.col("doc_id").alias("db"), "shingle")

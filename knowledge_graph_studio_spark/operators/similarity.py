@@ -59,50 +59,129 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+_PAIR_SCHEMA = T.StructType([T.StructField("va", T.LongType()),
+                             T.StructField("vb", T.LongType())])
+
+
+def _ids_mat(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Extract (ids, row-normalized float64 matrix) from a pandas group."""
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
+def _gemm_pairs(ids_a: np.ndarray, mat_a: np.ndarray,
+                ids_b: np.ndarray, mat_b: np.ndarray,
+                threshold: float, same: bool) -> pd.DataFrame:
+    """Dense cosine kernel: emit (va, vb), va < vb, for sims >= threshold.
+    `same=True` means both sides are the same set (dedupe by id order)."""
+    if len(ids_a) == 0 or len(ids_b) == 0:
+        return pd.DataFrame({"va": np.array([], dtype=np.int64),
+                             "vb": np.array([], dtype=np.int64)})
+    sims = mat_a @ mat_b.T
+    ai, bj = np.nonzero(sims >= threshold)
+    xa, xb = ids_a[ai], ids_b[bj]
+    if same:
+        # the symmetric matrix yields both (x, y) and (y, x); keep one
+        keep = xa < xb
+        va, vb = xa[keep], xb[keep]
+    else:
+        va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+        keep = va < vb
+        va, vb = va[keep], vb[keep]
+    return pd.DataFrame({"va": va, "vb": vb})
+
+
 def cosine_allpairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold via blocked GEMM: the full (normalized)
-    matrix is broadcast, each Arrow batch multiplies against it and emits
-    (va, vb) with va < vb.
+    """EXACT all-pairs cosine >= threshold via distributed block-pair GEMM.
 
-    Scale shape: O(N) tasks x O(N·d) flops each, executed as numpy GEMM —
-    this is the dense-block kernel that a 100 TB run applies WITHIN LSH/IVF
-    buckets (see ann_lsh_topk / dedup.minhash_lsh_candidates for the bucketing
-    that bounds N per block); broadcasting the whole matrix is only for
-    query-scale N like the driver's embeddings table."""
-    import numpy as _np
+    Vectors are hashed into `n_blocks` blocks; every unordered block pair
+    (i, j), i <= j, becomes one applyInPandas group holding just those two
+    blocks (~2N/B rows), which runs a dense numpy GEMM and emits (va, vb)
+    with va < vb. Exact all-pairs is inherently O(N^2 d) flops, but this
+    spreads it over B(B+1)/2 independent tasks with O(N/B * d) memory each —
+    no driver collect, no whole-matrix broadcast. At web scale pick
+    n_blocks ~ sqrt(N^2 d / task_flop_budget), or use cosine_neardup_lsh
+    (below) to avoid the quadratic work when approximate recall suffices.
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = _np.array([r[0] for r in rows], dtype=_np.int64)
-    mat = _np.array([r[1] for r in rows], dtype=_np.float64)
-    mat = mat / _np.linalg.norm(mat, axis=1, keepdims=True)
-    order = _np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    sc = df.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
+    Reference parity: exact counterpart of Atlas $vectorSearch's similarity
+    semantics (services/crud/chunks.py:64-100) applied all-pairs."""
+    B = int(n_blocks)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            a_ids = pdf["_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ all_mat.T
-            ai, bj = np.nonzero(sims >= threshold)
-            va, vb = a_ids[ai], all_ids[bj]
-            keep = va < vb
-            yield pd.DataFrame({"va": va[keep], "vb": vb[keep]})
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B))
+        .cast("int").alias("_blk"),
+    )
+    # Replicate each row into every block pair containing its block: B rows
+    # out per row in (pair (b, b) appears once in the comprehension).
+    pair_structs = [
+        F.struct(F.least(F.col("_blk"), F.lit(o)).alias("pi"),
+                 F.greatest(F.col("_blk"), F.lit(o)).alias("pj"))
+        for o in range(B)
+    ]
+    rep = src.select(
+        "_id", "_vec", "_blk", F.explode(F.array(*pair_structs)).alias("p")
+    ).select("_id", "_vec", "_blk", "p.pi", "p.pj")
 
-    schema = T.StructType([T.StructField("va", T.LongType()),
-                           T.StructField("vb", T.LongType())])
-    src = df.select(F.col(id_col).cast("long").alias("_id"),
-                    F.col(vec_col).alias("_vec"))
-    return src.mapInPandas(run, schema=schema)
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pi, pj = int(pdf["pi"].iat[0]), int(pdf["pj"].iat[0])
+        a = pdf[pdf["_blk"] == pi]
+        ids_a, mat_a = _ids_mat(a)
+        if pi == pj:
+            return _gemm_pairs(ids_a, mat_a, ids_a, mat_a, threshold, same=True)
+        b = pdf[pdf["_blk"] == pj]
+        ids_b, mat_b = _ids_mat(b)
+        return _gemm_pairs(ids_a, mat_a, ids_b, mat_b, threshold, same=False)
+
+    return rep.groupBy("pi", "pj").applyInPandas(run, schema=_PAIR_SCHEMA)
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    seed: int = 7,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """APPROXIMATE near-dup pairs: random-hyperplane LSH buckets the vectors,
+    each (table, bucket) group runs the dense GEMM kernel, candidates are
+    verified by exact cosine inside the kernel (precision 1.0 by
+    construction), pairs deduped across tables. Misses only pairs that
+    collide in no table — recall vs cosine_allpairs asserted in
+    tests/test_similarity.py.
+
+    This is the 100 TB path: work is sum over buckets of |bucket|^2 instead
+    of N^2, and `max_bucket` bounds the worst skewed bucket (a bucket larger
+    than the cap is deterministically truncated by id order — callers that
+    cannot tolerate silent truncation pass max_bucket=None)."""
+    keyed = lsh_bucket_keys(df, vec_col, id_col, n_planes, n_tables, seed)
+    joined = keyed.join(
+        df.select(F.col(id_col).cast("long").alias(id_col),
+                  F.col(vec_col).alias("_vec")),
+        id_col,
+    ).select(F.col(id_col).alias("_id"), "_vec", "table_id", "bucket")
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket is not None and len(pdf) > max_bucket:
+            pdf = pdf.sort_values("_id").head(max_bucket)
+        ids, mat = _ids_mat(pdf)
+        return _gemm_pairs(ids, mat, ids, mat, threshold, same=True)
+
+    pairs = joined.groupBy("table_id", "bucket").applyInPandas(
+        run, schema=_PAIR_SCHEMA)
+    return pairs.distinct()
 
 
 def _projection_udf(dim: int, n_planes: int, n_tables: int, seed: int):

@@ -5,8 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from knowledge_graph_studio_spark.operators.dedup import (
-    minhash_lsh_candidates, minhash_neardup_pairs, simhash_signatures,
-    token_shingles,
+    cap_shingle_df, minhash_lsh_candidates, minhash_neardup_pairs,
+    simhash_signatures, token_shingles,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -52,6 +52,42 @@ def test_minhash_verified_pairs_match_exact(spark, docs):
     # verification step makes precision exact; recall bounded by LSH
     assert verified <= exact
     assert len(verified) >= 0.95 * len(exact)
+
+
+def test_cap_shingle_df_kills_template_skew(spark):
+    """A template shingle shared by every doc (web boilerplate) must be
+    dropped by the cap, collapsing the f^2 candidate explosion, while a
+    genuine near-dup pair still verifies."""
+    template = "all rights reserved copyright"  # 4 tokens -> 2 3-shingles
+    rows = [(i, f"{template} unique{i} filler{i} words{i} " * 3)
+            for i in range(40)]
+    # one genuine near-dup pair sharing real content
+    rows += [(100, "spark shuffle partitions broadcast join skew salt " * 6),
+             (101, "spark shuffle partitions broadcast join skew salt " * 6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = token_shingles(docs).persist()
+    capped = cap_shingle_df(sh, max_df=10)
+    # the template shingles (df=40 > 10) are gone; per-doc shingles remain
+    hot = {r["shingle"] for r in
+           sh.groupBy("shingle").agg(F.count("*").alias("df"))
+           .filter(F.col("df") > 10).collect()}
+    assert hot, "fixture must contain hot shingles"
+    left = {r["shingle"] for r in capped.select("shingle").distinct().collect()}
+    assert not (hot & left)
+    # inverted-index join over the capped index: template docs produce no
+    # pairs; the genuine pair survives
+    a = capped.select(F.col("doc_id").alias("da"), "shingle")
+    b = capped.select(F.col("doc_id").alias("db"), "shingle")
+    pairs = {(r["da"], r["db"]) for r in
+             a.join(b, "shingle").filter(F.col("da") < F.col("db"))
+             .select("da", "db").distinct().collect()}
+    assert pairs == {(100, 101)}
+    # and the full verified path (capped verification join) agrees
+    verified = {(r["da"], r["db"]) for r in
+                minhash_neardup_pairs(docs, jaccard_threshold=0.5,
+                                      max_shingle_df=10).collect()}
+    assert verified == {(100, 101)}
+    sh.unpersist()
 
 
 def test_simhash_locality(spark):

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from knowledge_graph_studio_spark.operators.similarity import (
     ann_lsh_topk, brute_force_topk, cosine_allpairs, cosine_col,
+    cosine_neardup_lsh,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -50,6 +51,32 @@ def test_cosine_allpairs_matches_sql_fold(spark, emb):
         .select("va", "vb").collect()
     }
     assert gemm == sql
+
+
+def test_cosine_allpairs_block_count_invariance(spark, emb):
+    """Exactness must not depend on the block decomposition (1 block =
+    single-group degenerate case; 16 blocks > groups with one side empty)."""
+    sub = emb.filter("vec_id < 80")
+    base_rows = [(r["va"], r["vb"]) for r in cosine_allpairs(sub, 0.35).collect()]
+    assert len(base_rows) == len(set(base_rows)), "duplicate pairs emitted"
+    base = set(base_rows)
+    for nb in (1, 3, 16):
+        got_rows = [(r["va"], r["vb"])
+                    for r in cosine_allpairs(sub, 0.35, n_blocks=nb).collect()]
+        assert len(got_rows) == len(set(got_rows)), f"dups at n_blocks={nb}"
+        assert set(got_rows) == base, f"n_blocks={nb}"
+
+
+def test_cosine_neardup_lsh_recall_vs_exact(spark, emb):
+    """Bucketed per-bucket GEMM path: precision 1.0 by construction (exact
+    verification inside the bucket), recall vs the exact block-pair path."""
+    exact = {(r["va"], r["vb"]) for r in cosine_allpairs(emb, 0.4).collect()}
+    approx = {(r["va"], r["vb"])
+              for r in cosine_neardup_lsh(emb, 0.4, n_planes=2,
+                                          n_tables=16).collect()}
+    assert approx <= exact, "LSH path emitted a pair below threshold"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"near-dup LSH recall {recall}"
 
 
 def test_ann_lsh_recall(spark, emb):
