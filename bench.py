@@ -77,7 +77,7 @@ def main() -> None:
     t0 = time.time()
     out = build_graph(spark, synthetic_pages(spark, n_pages, seed=42,
                                              partitions=cores * 2),
-                      max_chunks=2048)
+                      max_chunks=2048, max_prop_vals=2048)
     n_triples = out["triples"].count()
     n_nodes = out["nodes"].count()
     n_edges = out["edges"].count()

@@ -581,6 +581,39 @@ def q_ann_ivf_topk(spark, sf):  # rows-only
                         n_cells=16, n_probe=4).select("qid", "vec_id")
 
 
+def q_embedding_neardup_lsh(spark, sf):
+    """The sub-quadratic scale path for embedding near-dup: LSH buckets +
+    per-bucket GEMM, exact in-bucket verification (similarity.
+    cosine_neardup_lsh). Approximate in general (recall tests in
+    tests/test_similarity.py); at this SF with these params the fixed-seed
+    recall is 1.0 (verified), so it is safely paired with the same exact
+    oracle as embedding_neardup."""
+    from .operators.similarity import cosine_neardup_lsh
+
+    e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
+    return cosine_neardup_lsh(e, threshold=0.4, n_planes=2, n_tables=16)
+
+
+def q_kg_workspace_tags(spark, sf):
+    """Workspace tag set-union over a REAL chunks table carrying the
+    reference's tags/user_metadata columns (with_chunk_metadata +
+    workspace_tags; routers/workspaces.py:145-189). Tags derived
+    deterministically per row so DuckDB can reproduce the union."""
+    from .operators.chunking import with_chunk_metadata, workspace_tags
+
+    d = _read(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").alias("content"))
+    tags_col = F.create_map(
+        F.lit("w1"),
+        F.array(F.concat(F.lit("t"),
+                         (F.col("url").cast("long") % 7).cast("string"))))
+    chunks = with_chunk_metadata(d, workspace="w1", created_by="u1",
+                                 tags=tags_col)
+    return workspace_tags(chunks, "w1").select(
+        "workspace", F.concat_ws(",", "tags").alias("tags"))
+
+
 # --------------------------------------------------------------------------- #
 # Registry + oracle SQL
 # --------------------------------------------------------------------------- #
@@ -605,6 +638,8 @@ QUERIES: dict[str, _T] = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "kg_workspace_tags": q_kg_workspace_tags,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -764,6 +799,14 @@ ORACLE_SQL: dict[str, str] = {
         select a.vec_id as va, b.vec_id as vb
         from embeddings a join embeddings b on a.vec_id < b.vec_id
         where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    "embedding_neardup_lsh": """
+        select a.vec_id as va, b.vec_id as vb
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""",
+    "kg_workspace_tags": """
+        select 'w1' as workspace,
+               array_to_string(list_sort(list(distinct 't' || (doc_id % 7)::varchar)), ',') as tags
+        from documents""",
     "lang_id": f"""
         with t as (select doc_id, string_split(text,' ') as toks from documents)
         select doc_id, len(toks) as n_tokens,

@@ -76,6 +76,102 @@ class RunManifest:
         return out
 
 
+class GraphStatus:
+    """Graph lifecycle row — the reference tracks creating/updating/ready/
+    failed plus an errors list per graph (graph_service.py:751-832,
+    schemas/graphs.py:28-49) that callers poll while a build runs. One JSON
+    file per graph under workdir/_status, atomically replaced on transition
+    (same publish discipline as the manifest)."""
+
+    STATES = ("creating", "updating", "ready", "failed")
+
+    def __init__(self, workdir: str):
+        self.dir = os.path.join(workdir, "_status")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, graph: str) -> str:
+        return os.path.join(self.dir, f"graph_{graph}.json")
+
+    def set(self, graph: str, status: str,
+            errors: list[str] | None = None, **metrics: Any) -> dict:
+        assert status in self.STATES, status
+        rec = {"graph": graph, "status": status,
+               "errors": errors or [], "updated_at": time.time(), **metrics}
+        tmp = self._path(graph) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, self._path(graph))
+        return rec
+
+    def get(self, graph: str) -> dict | None:
+        try:
+            with open(self._path(graph)) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+
+class QueryLog:
+    """queries table — Entry C records the query document before running and
+    persists status/response/returned ids after (graph_service.py:1938-1969,
+    2046-2054; schemas/queries.py:16-65 shape). JSON-file-backed (query
+    traffic is human-scale by contract); ``df()`` exposes the log as a
+    DataFrame for listing queries."""
+
+    SCHEMA = ("query_id string, graph string, workspace string, "
+              "created_by string, status string, content string, "
+              "entities array<string>, relations array<string>, "
+              "values array<string>, response string, "
+              "triple_ids array<long>, node_ids array<long>, "
+              "error string, created_at double, finished_at double")
+
+    def __init__(self, workdir: str):
+        self.dir = os.path.join(workdir, "_queries")
+        os.makedirs(self.dir, exist_ok=True)
+        self._n = len(os.listdir(self.dir))
+
+    def _path(self, query_id: str) -> str:
+        return os.path.join(self.dir, f"{query_id}.json")
+
+    def _write(self, rec: dict) -> None:
+        tmp = self._path(rec["query_id"]) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(rec, fh)
+        os.replace(tmp, self._path(rec["query_id"]))
+
+    def start(self, graph: str, params: Any,
+              workspace: str = "default", created_by: str = "default") -> str:
+        query_id = f"q{self._n:06d}"
+        self._n += 1
+        self._write({
+            "query_id": query_id, "graph": graph, "workspace": workspace,
+            "created_by": created_by, "status": "pending",
+            "content": params.content, "entities": list(params.entities),
+            "relations": list(params.relations), "values": list(params.values),
+            "response": None, "triple_ids": None, "node_ids": None,
+            "error": None, "created_at": time.time(), "finished_at": None,
+        })
+        return query_id
+
+    def finish(self, query_id: str, response: str | None,
+               triple_ids: list[int], node_ids: list[int]) -> None:
+        with open(self._path(query_id)) as fh:
+            rec = json.load(fh)
+        rec.update(status="success", response=response,
+                   triple_ids=triple_ids, node_ids=node_ids,
+                   finished_at=time.time())
+        self._write(rec)
+
+    def fail(self, query_id: str, error: str) -> None:
+        with open(self._path(query_id)) as fh:
+            rec = json.load(fh)
+        rec.update(status="failed", error=error, finished_at=time.time())
+        self._write(rec)
+
+    def df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(self.SCHEMA).json(self.dir)
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 

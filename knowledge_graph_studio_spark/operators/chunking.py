@@ -14,12 +14,19 @@ and provenance stays human-debuggable.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# reference chunk schema: tags is dict[workspace_id, list[str]]
+# (schemas/chunks.py:80), user_metadata dict[str, ...] (:81-88) — typed here
+# as map<string,string>; richer values arrive as JSON strings.
+TAGS_TYPE = T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+USER_META_TYPE = T.MapType(T.StringType(), T.StringType())
 
 CHUNKS_SCHEMA = T.StructType(
     [
@@ -79,6 +86,71 @@ def pages_to_chunks(pages: DataFrame, max_chars: int = 1024) -> DataFrame:
         "chunk_id",
         F.concat_ws(":", F.col("url"), F.col("start").cast("string")),
     )
+
+
+def _const_or_col(value, dtype) -> Column:
+    if value is None:
+        return F.from_json(F.lit("{}"), dtype)
+    if isinstance(value, Column):
+        return value
+    return F.from_json(F.lit(json.dumps(value)), dtype)
+
+
+def with_chunk_metadata(
+    chunks: DataFrame,
+    workspace: str = "default",
+    created_by: str = "default",
+    tags: dict | Column | None = None,
+    user_metadata: dict | Column | None = None,
+) -> DataFrame:
+    """Stamp the reference's chunk-document fields (schemas/chunks.py:60-88)
+    onto a chunk table: ``workspaces`` (assignment list — chunks can be
+    assigned to more workspaces later via plans.admin.assign_chunks),
+    ``created_by``, ``tags`` (map<workspace, array<string>>), ``user_metadata``
+    and ``document`` (parent document key — the url is the natural key here).
+
+    ``tags``/``user_metadata`` accept a plain dict (constant for the ingest
+    batch — the reference's upload-time shape) or a Column derived per row.
+    Pure column ops; the stamp is a narrow projection, no shuffle."""
+    return (
+        chunks.withColumn("workspaces", F.array(F.lit(workspace)))
+        .withColumn("created_by", F.lit(created_by))
+        .withColumn("tags", _const_or_col(tags, TAGS_TYPE))
+        .withColumn("user_metadata", _const_or_col(user_metadata, USER_META_TYPE))
+        .withColumn("document", F.col("url"))
+    )
+
+
+def workspace_tags(
+    chunks: DataFrame,
+    workspace: str,
+    documents: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct set-union of a workspace's tags (routers/workspaces.py:145-189):
+    for chunks assigned to the workspace, union tags[workspace] with the
+    parent document's tags[workspace] (the reference's $lookup + $concatArrays
+    + $setUnion reduce). Returns one row (workspace, tags sorted array).
+
+    Shape: narrow filter + element_at projection, explode, one tiny global
+    agg — at scale the workspaces filter prunes partitions when the table is
+    written partitioned by workspace."""
+    ws = F.lit(workspace)
+    scoped = chunks.filter(F.array_contains("workspaces", ws))
+    own = scoped.select(
+        F.explode(F.coalesce(F.element_at("tags", ws), F.array())).alias("tag"))
+    if documents is not None:
+        doc_tags = documents.select(
+            F.col("document"),
+            F.coalesce(F.element_at("tags", ws), F.array()).alias("_dt"))
+        from_docs = (
+            scoped.select("document").distinct()
+            .join(doc_tags, "document", "inner")
+            .select(F.explode("_dt").alias("tag"))
+        )
+        own = own.unionByName(from_docs)
+    return own.agg(
+        F.array_sort(F.collect_set("tag")).alias("tags")
+    ).select(F.lit(workspace).alias("workspace"), "tags")
 
 
 def rows_to_object_chunks(df: DataFrame, url_col: str = "url") -> DataFrame:

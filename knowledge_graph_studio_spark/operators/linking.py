@@ -352,14 +352,30 @@ def _merge_props_col(col):
             )
         ),
     )
-    return F.transform_values(
+    # merge_string_props parity: drop keys whose value is NULL in every input
+    # map, drop NULL elements inside value lists, keep keys whose lists are
+    # merely empty.
+    cleaned = F.transform_values(
         F.coalesce(merged, F.from_json(F.lit("{}"), PROPS)),
-        lambda _k, v: F.array_sort(F.array_distinct(v)),
+        lambda _k, v: F.when(v.isNull(), v).otherwise(
+            F.array_sort(F.array_distinct(
+                F.filter(v, lambda x: x.isNotNull())))),
     )
+    return F.map_filter(cleaned, lambda _k, v: v.isNotNull())
 
 
 def _capped(arr, max_n: int | None):
     return arr if max_n is None else F.slice(arr, 1, max_n)
+
+
+def _node_id(graph: str, workspace: str, created_by: str,
+             name="name", type_="type") -> F.Column:
+    """Deterministic node identity: the reference's upsert key is
+    (name, type, graph, user) (graph_service.py:557-563); workspace scopes
+    the graph. Hashing the full tenant chain keeps same-named entities of
+    different tenants disjoint in any shared table."""
+    return F.xxhash64(F.lit(graph), F.lit(workspace), F.lit(created_by),
+                      F.col(name), F.col(type_))
 
 
 def _merged_props_df(rows: DataFrame, key: list[str], salt: int,
@@ -373,10 +389,20 @@ def _merged_props_df(rows: DataFrame, key: list[str], salt: int,
 
     ``max_vals`` caps each value list (keeping the sort-order prefix) at BOTH
     phases, bounding the hot key's final-task work to salt*max_vals elements —
-    see build_nodes for the rationale."""
+    see build_nodes for the rationale.
+
+    Law detail: a key whose value lists are all empty (or null) is KEPT with
+    an empty array — the inner explode is explode_outer so the (key, k) row
+    survives with v = NULL, and collect_set drops the null, yielding [].
+    This matches textcore.merge_string_props and the _merge_props_col path
+    (equivalence asserted in tests/test_linking.py)."""
     kv = (
         rows.select(*key, "salt", F.explode("props").alias("k", "vs"))
-        .select(*key, "salt", "k", F.explode("vs").alias("v"))
+        # merge_string_props: a NULL value list drops the key (that row
+        # contributes nothing), an EMPTY list keeps it — explode_outer turns
+        # [] into one (k, NULL) row whose null collect_set yields [].
+        .filter(F.col("vs").isNotNull())
+        .select(*key, "salt", "k", F.explode_outer("vs").alias("v"))
     )
     partial = kv.groupBy(*key, "k", "salt").agg(
         _capped(F.array_sort(F.collect_set("v")), max_vals).alias("vs"))
@@ -393,25 +419,43 @@ def _merged_props_df(rows: DataFrame, key: list[str], salt: int,
 
 def build_nodes(
     triples: DataFrame, graph: str = "default", salt: int = 16,
-    max_chunks: int | None = None,
+    max_chunks: int | None = None, max_prop_vals: int | None = None,
+    workspace: str = "default", created_by: str = "default",
 ) -> DataFrame:
     """L2: endpoints -> deduped nodes with merged properties + chunk sets.
 
     Two-phase salted aggregation (skew-proof for hot entities):
       phase 1: groupBy(name, type, salt) — map-side + partial merge
       phase 2: groupBy(name, type) — merge <=salt partials per key
-    node_id = xxhash64(graph, name, type) (replaces L3's id lookup).
+    node_id = xxhash64(graph, workspace, created_by, name, type) (replaces
+    L3's id lookup).
+
+    Multi-tenancy: the reference keys every node upsert by user and graph
+    (graph_service.py:557-563 filter includes created_by; graphs belong to a
+    workspace). A build runs in one (workspace, created_by) context — the
+    values are stamped as columns AND folded into node_id, so tables holding
+    many tenants' builds never collide on same-named entities, and readers
+    scope with plans.query.scope_filter.
 
     ``max_chunks``: the salt fixes groupBy skew, but a hot entity's provenance
     ARRAY still grows linearly with the corpus (~20% of a web crawl mentions
     the head entity -> millions of chunk ids sorted in one final task; measured
     as the dominant straggler at 768k pages). max_chunks keeps the
     lexicographic prefix of the chunk set at both phases, bounding final-task
-    work to salt*max_chunks, and adds an exact total in ``mention_count``.
-    Default None = exact reference semantics (the array is the full set union,
-    graph_service.py:486-493); production web-scale runs should set a cap and
-    keep full provenance in a normalized (node_id, chunk_id) side table if
-    they need it queryable."""
+    work to salt*max_chunks. Default None = exact reference semantics (the
+    array is the full set union, graph_service.py:486-493); production
+    web-scale runs should set a cap and keep full provenance in a normalized
+    (node_id, chunk_id) side table if they need it queryable.
+
+    ``max_prop_vals`` independently caps property value lists (None = exact).
+
+    Counters alongside the (possibly capped) chunks array:
+      * mention_count — triple-ENDPOINT occurrences of the entity (an entity
+        in N triples of one chunk counts N).
+      * chunk_count — EXACT distinct-chunk total, the uncapped size of the
+        chunks set. Exact despite the two phases because the salt is a pure
+        function of chunk_id, so each distinct chunk lands in exactly one
+        salt partition and per-salt distinct counts sum without overlap."""
     # the reference POPS "chunks" out of the property dicts before merging
     # (graph_service.py:552 `properties.pop("chunks", [])`): chunk provenance
     # lives in the chunks field only, never in properties. Besides parity,
@@ -431,9 +475,13 @@ def build_nodes(
         "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
     )
     partial = raw.groupBy("name", "type", "salt").agg(
-        _capped(F.array_sort(F.collect_set("chunk_id")), max_chunks)
-        .alias("chunks"),
+        F.array_sort(F.collect_set("chunk_id")).alias("_cs"),
         F.count("*").alias("cnt"),
+    ).select(
+        "name", "type",
+        _capped(F.col("_cs"), max_chunks).alias("chunks"),
+        F.size("_cs").alias("dcnt"),  # per-salt distinct, disjoint across salts
+        "cnt",
     )
     final = partial.groupBy("name", "type").agg(
         _capped(
@@ -441,32 +489,41 @@ def build_nodes(
             max_chunks,
         ).alias("chunks"),
         F.sum("cnt").alias("mention_count"),
+        F.sum("dcnt").alias("chunk_count"),
     )
-    props = _merged_props_df(raw, ["name", "type"], salt, max_vals=max_chunks)
+    props = _merged_props_df(raw, ["name", "type"], salt, max_vals=max_prop_vals)
     empty_props = F.from_json(F.lit("{}"), PROPS)
     return final.join(props, ["name", "type"], "left").select(
-        F.xxhash64(F.lit(graph), "name", "type").alias("node_id"),
+        _node_id(graph, workspace, created_by).alias("node_id"),
         F.lit(graph).alias("graph"),
+        F.lit(workspace).alias("workspace"),
+        F.lit(created_by).alias("created_by"),
         "name", "type",
         F.coalesce("properties", empty_props).alias("properties"),
-        "chunks", "mention_count",
+        "chunks", "mention_count", "chunk_count",
     )
 
 
 def build_edges(
     triples: DataFrame, nodes: DataFrame, graph: str = "default",
     salt: int = 16, max_chunks: int | None = None,
+    max_prop_vals: int | None = None,
+    workspace: str = "default", created_by: str = "default",
 ) -> DataFrame:
     """L4: triples -> deduped edges keyed (head_id, tail_id, relation).
 
     Chunk law (graph_service.py:668-691): chunks = setUnion(
     intersect(head_node.chunks, tail_node.chunks), contributed chunk ids).
     Node chunk-sets are aggregated first and joined back (two-phase order the
-    reference also uses: nodes before triples, graph_service.py:597-671)."""
+    reference also uses: nodes before triples, graph_service.py:597-671).
+
+    Multi-tenancy: workspace/created_by must match the build_nodes call so
+    the endpoint-id hashes line up (triple upserts are user-scoped too,
+    graph_service.py:645-653)."""
     keyed = triples.withColumn(
-        "head_id", F.xxhash64(F.lit(graph), "head", "head_type")
+        "head_id", _node_id(graph, workspace, created_by, "head", "head_type")
     ).withColumn(
-        "tail_id", F.xxhash64(F.lit(graph), "tail", "tail_type")
+        "tail_id", _node_id(graph, workspace, created_by, "tail", "tail_type")
     ).withColumn(
         "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
     )
@@ -488,7 +545,7 @@ def build_edges(
         keyed.select("head_id", "tail_id", "relation", "salt",
                      F.map_filter("relation_properties",
                                   lambda k, _v: k != "chunks").alias("props")),
-        ["head_id", "tail_id", "relation"], salt, max_vals=max_chunks)
+        ["head_id", "tail_id", "relation"], salt, max_vals=max_prop_vals)
     agg = agg.join(eprops, ["head_id", "tail_id", "relation"], "left").withColumn(
         "properties", F.coalesce("properties", F.from_json(F.lit("{}"), PROPS)))
     n = nodes.select(F.col("node_id"), F.col("chunks"))
@@ -516,6 +573,8 @@ def build_edges(
     return out.select(
         F.xxhash64(F.lit(graph), "head_id", "tail_id", "relation").alias("edge_id"),
         F.lit(graph).alias("graph"),
+        F.lit(workspace).alias("workspace"),
+        F.lit(created_by).alias("created_by"),
         "head_id", "tail_id",
         F.col("relation").alias("rel_type"),
         "head", "head_type", "tail", "tail_type",
@@ -527,8 +586,31 @@ def merge_nodes_interactive(
     nodes: DataFrame, edges: DataFrame, from_ids: list[int], to_id: int
 ) -> tuple[DataFrame, DataFrame]:
     """L6 (graph_service.py:2074-2181): repoint edges from from_ids to to_id,
-    fold the from-nodes' properties/chunks into the target, drop from-nodes."""
+    fold the from-nodes' properties/chunks into the target, drop from-nodes.
+
+    After repointing, two edges can collapse onto the same (head_id, tail_id,
+    rel_type) key; the reference's triple upsert merges them (chunks union +
+    property merge, graph_service.py:645-691), so the returned edges are
+    re-aggregated through the same law and edge_id is recomputed. Repointed
+    endpoints take the merged target node's name/type."""
     from_lit = F.array(*[F.lit(i) for i in from_ids])
+    group = nodes.withColumn("_orig_id", F.col("node_id")).withColumn(
+        "node_id",
+        F.when(F.array_contains(from_lit, F.col("node_id")), F.lit(to_id))
+        .otherwise(F.col("node_id")),
+    )
+    merged_nodes = group.groupBy("node_id").agg(
+        F.first("graph").alias("graph"),
+        F.first("workspace").alias("workspace"),
+        F.first("created_by").alias("created_by"),
+        F.coalesce(
+            F.max(F.when(F.col("_orig_id") == to_id, F.col("name"))),
+            F.min("name"),
+        ).alias("name"),
+        F.first("type").alias("type"),
+        _merge_props_col(F.collect_list("properties")).alias("properties"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))).alias("chunks"),
+    )
     moved = edges.withColumn(
         "head_id",
         F.when(F.array_contains(from_lit, F.col("head_id")), F.lit(to_id))
@@ -538,19 +620,41 @@ def merge_nodes_interactive(
         F.when(F.array_contains(from_lit, F.col("tail_id")), F.lit(to_id))
         .otherwise(F.col("tail_id")),
     )
-    group = nodes.withColumn("_orig_id", F.col("node_id")).withColumn(
-        "node_id",
-        F.when(F.array_contains(from_lit, F.col("node_id")), F.lit(to_id))
-        .otherwise(F.col("node_id")),
+    # repointed endpoints display the merged target's name/type (single-row
+    # broadcast — interactive merges touch one target node)
+    target = F.broadcast(
+        merged_nodes.filter(F.col("node_id") == to_id)
+        .select(F.lit(True).alias("_has_t"),
+                F.col("name").alias("_tname"), F.col("type").alias("_ttype"))
     )
-    merged_nodes = group.groupBy("node_id").agg(
+    moved = (
+        moved.join(target, F.lit(True), "left")  # 0-or-1-row broadcast
+        .withColumn("head", F.when(F.col("head_id") == to_id,
+                                   F.coalesce("_tname", "head"))
+                    .otherwise(F.col("head")))
+        .withColumn("head_type", F.when(F.col("head_id") == to_id,
+                                        F.coalesce("_ttype", "head_type"))
+                    .otherwise(F.col("head_type")))
+        .withColumn("tail", F.when(F.col("tail_id") == to_id,
+                                   F.coalesce("_tname", "tail"))
+                    .otherwise(F.col("tail")))
+        .withColumn("tail_type", F.when(F.col("tail_id") == to_id,
+                                        F.coalesce("_ttype", "tail_type"))
+                    .otherwise(F.col("tail_type")))
+        .drop("_has_t", "_tname", "_ttype")
+    )
+    # L4 re-aggregation: collapsed keys merge chunks (set union) + properties
+    merged_edges = moved.groupBy("head_id", "tail_id", "rel_type").agg(
         F.first("graph").alias("graph"),
-        F.coalesce(
-            F.max(F.when(F.col("_orig_id") == to_id, F.col("name"))),
-            F.min("name"),
-        ).alias("name"),
-        F.first("type").alias("type"),
+        F.first("workspace").alias("workspace"),
+        F.first("created_by").alias("created_by"),
+        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
+        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
         _merge_props_col(F.collect_list("properties")).alias("properties"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))).alias("chunks"),
+    ).select(
+        F.xxhash64("graph", "head_id", "tail_id", "rel_type").alias("edge_id"),
+        "graph", "workspace", "created_by", "head_id", "tail_id", "rel_type",
+        "head", "head_type", "tail", "tail_type", "properties", "chunks",
     )
-    return merged_nodes, moved
+    return merged_nodes, merged_edges

@@ -23,7 +23,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .io.catalog import RunManifest, read_table
+from .io.catalog import GraphStatus, RunManifest, read_table
 from .operators.extraction import TRIPLES_SCHEMA, pages_to_triples
 from .operators.linking import (
     apply_canonical_mapping, apply_merge_rules, build_edges, build_nodes,
@@ -60,11 +60,19 @@ def build_graph(
     rules=None,
     fuzzy: bool = True,
     max_chunks: int | None = None,
+    max_prop_vals: int | None = None,
+    workspace: str = "default",
+    created_by: str = "default",
 ) -> dict[str, DataFrame]:
     """Full construction; returns {"triples", "mapping", "nodes", "edges"}.
 
-    ``max_chunks`` bounds per-row provenance arrays (hot-entity guard at web
-    scale; None = exact reference set-union semantics). See build_nodes."""
+    ``max_chunks`` bounds per-row chunk-provenance arrays and
+    ``max_prop_vals`` property value lists (hot-entity guards at web scale;
+    None = exact reference set-union semantics). See build_nodes.
+
+    ``workspace``/``created_by``: the tenant context the build runs in (the
+    reference scopes every upsert by user+workspace, graph_service.py:557-563)
+    — stamped on nodes/edges and folded into their identity hashes."""
     triples = triples_from_pages(spark, pages, schema, gazetteer, rules)
     triples = triples.persist()  # consumed by CC + node agg + edge agg
     if fuzzy:
@@ -73,8 +81,12 @@ def build_graph(
     else:
         mapping = None
         canon = triples
-    nodes = build_nodes(canon, graph=graph, max_chunks=max_chunks).persist()
-    edges = build_edges(canon, nodes, graph=graph, max_chunks=max_chunks)
+    nodes = build_nodes(canon, graph=graph, max_chunks=max_chunks,
+                        max_prop_vals=max_prop_vals,
+                        workspace=workspace, created_by=created_by).persist()
+    edges = build_edges(canon, nodes, graph=graph, max_chunks=max_chunks,
+                        max_prop_vals=max_prop_vals,
+                        workspace=workspace, created_by=created_by)
     return {"triples": triples, "mapping": mapping, "nodes": nodes, "edges": edges}
 
 
@@ -88,47 +100,65 @@ def build_graph_resumable(
     gazetteer=None,
     rules=None,
     fail_after_bucket: int | None = None,
+    workspace: str = "default",
+    created_by: str = "default",
 ) -> dict[str, DataFrame]:
     """Checkpointed build over a materialized pages table.
 
     Stage 1 (per url-hash bucket, resumable): extraction -> triples parquet +
     manifest commit. Stage 2 (global, idempotent overwrite): CC + node/edge
     aggregation over all committed triples. ``fail_after_bucket`` injects a
-    crash for the resume test."""
+    crash for the resume test.
+
+    Graph lifecycle: a pollable status row (io.catalog.GraphStatus) follows
+    the reference's creating/updating/ready/failed transitions
+    (graph_service.py:751-832): creating on first run, updating on a rerun
+    after ready, failed (with the error recorded) on any exception."""
     schema, gazetteer, alias_df = _config(spark, schema, gazetteer, rules)
     manifest = RunManifest(workdir)
-    pages = spark.read.parquet(pages_path).withColumn(
-        "_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-    )
-    done = manifest.committed("extract")
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        t0 = time.time()
-        part = pages.filter(F.col("_bucket") == b).drop("_bucket")
-        triples_b = triples_from_pages(spark, part, schema, gazetteer, rules)
-        out = f"{workdir}/triples/bucket={b}"
-        triples_b.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).count()
-        manifest.commit("extract", b, t0, triples_emitted=n)
-        if fail_after_bucket is not None and b >= fail_after_bucket:
-            raise RuntimeError(f"injected failure after bucket {b}")
+    status = GraphStatus(workdir)
+    prior = status.get(graph)
+    status.set(graph, "updating" if prior and prior["status"] == "ready"
+               else "creating")
+    try:
+        pages = spark.read.parquet(pages_path).withColumn(
+            "_bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+        )
+        done = manifest.committed("extract")
+        for b in range(n_buckets):
+            if b in done:
+                continue
+            t0 = time.time()
+            part = pages.filter(F.col("_bucket") == b).drop("_bucket")
+            triples_b = triples_from_pages(spark, part, schema, gazetteer, rules)
+            out = f"{workdir}/triples/bucket={b}"
+            triples_b.write.mode("overwrite").parquet(out)
+            n = spark.read.parquet(out).count()
+            manifest.commit("extract", b, t0, triples_emitted=n)
+            if fail_after_bucket is not None and b >= fail_after_bucket:
+                raise RuntimeError(f"injected failure after bucket {b}")
 
-    triples = (
-        spark.read.schema(TRIPLES_SCHEMA).parquet(f"{workdir}/triples")
-        .select([f.name for f in TRIPLES_SCHEMA.fields])  # drop bucket partition col
-        .persist()
-    )
-    mapping = canonical_mapping(triples, alias_df=None, fuzzy=True).persist()
-    canon = apply_canonical_mapping(triples, mapping)
-    nodes = build_nodes(canon, graph=graph).persist()
-    edges = build_edges(canon, nodes, graph=graph)
-    t0 = time.time()
-    nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
-    edges.write.mode("overwrite").parquet(f"{workdir}/edges")
-    manifest.commit("materialize", 0, t0,
-                    nodes=read_table(spark, f"{workdir}/nodes").count(),
-                    edges=read_table(spark, f"{workdir}/edges").count())
+        triples = (
+            spark.read.schema(TRIPLES_SCHEMA).parquet(f"{workdir}/triples")
+            .select([f.name for f in TRIPLES_SCHEMA.fields])  # drop bucket col
+            .persist()
+        )
+        mapping = canonical_mapping(triples, alias_df=None, fuzzy=True).persist()
+        canon = apply_canonical_mapping(triples, mapping)
+        nodes = build_nodes(canon, graph=graph, workspace=workspace,
+                            created_by=created_by).persist()
+        edges = build_edges(canon, nodes, graph=graph, workspace=workspace,
+                            created_by=created_by)
+        t0 = time.time()
+        nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
+        edges.write.mode("overwrite").parquet(f"{workdir}/edges")
+        n_nodes = read_table(spark, f"{workdir}/nodes").count()
+        n_edges = read_table(spark, f"{workdir}/edges").count()
+        manifest.commit("materialize", 0, t0, nodes=n_nodes, edges=n_edges)
+    except Exception as exc:  # status row must record the failure (ref :806-832)
+        status.set(graph, "failed", errors=[f"{type(exc).__name__}: {exc}"])
+        raise
+    status.set(graph, "ready", nodes=n_nodes, edges=n_edges)
     return {
         "triples": triples,
         "mapping": mapping,

@@ -40,13 +40,38 @@ from ..functions.vector import cosine_col
 @dataclass
 class QueryParameters:
     """schemas/queries.py:16-46 shape: optional free-text plus structured
-    entity/relation/value filters."""
+    entity/relation/value filters. ``workspace``/``created_by``/``graph``
+    scope every read the way the reference keys all queries by user and
+    workspace (crud/chunks.py:103-165, graph_service.py:1892-1930); None
+    = unscoped (single-tenant table)."""
     content: str | None = None
     entities: list[str] = field(default_factory=list)
     relations: list[str] = field(default_factory=list)
     values: list[str] = field(default_factory=list)
     limit: int = 64          # config.py:147 triple_vector_search_limit
     return_answer: bool = False
+    graph: str | None = None
+    workspace: str | None = None
+    created_by: str | None = None
+
+
+def scope_filter(
+    df: DataFrame,
+    graph: str | None = None,
+    workspace: str | None = None,
+    created_by: str | None = None,
+) -> DataFrame:
+    """Tenant scoping predicate (reference: every find/upsert filter carries
+    created_by + workspace, e.g. graph_service.py:557-563,
+    crud/chunks.py:103-165). Plain equality filters on partition-friendly
+    columns — at scale these tables are written partitioned by
+    (workspace, graph), so the filter prunes whole partitions before the
+    scan (asserted in tests/test_plan_quality.py)."""
+    for col, val in (("graph", graph), ("workspace", workspace),
+                     ("created_by", created_by)):
+        if val is not None:
+            df = df.filter(F.col(col) == val)
+    return df
 
 
 # --------------------------------------------------------------------------- #
@@ -203,21 +228,29 @@ def hydrate_chunk_contents(
 
 
 def _hydrate_chunk_contents(df, chunks, limit, chunks_col, key_col):
+    # explode_outer: rows with an empty/NULL chunks array must survive the
+    # regroup and come back with chunk_contents = [] (not a dropped row that
+    # left-joins back as NULL — callers do len(row.chunk_contents)).
     sliced = df.select(
-        key_col, F.explode(F.slice(F.col(chunks_col), 1, limit)).alias("_cid"))
+        key_col,
+        F.explode_outer(F.slice(F.col(chunks_col), 1, limit)).alias("_cid"))
     joined = sliced.join(
         chunks.select(F.col("chunk_id").alias("_cid"),
                       F.col("content").alias("_content")),
         "_cid", "left")
     contents = (
         joined.groupBy(key_col)
-        .agg(F.array_sort(F.collect_list(F.struct("_cid", "_content")))
+        .agg(F.array_sort(
+            F.collect_list(F.when(F.col("_cid").isNotNull(),
+                                  F.struct("_cid", "_content"))))
              .alias("_cc"))
         .select(key_col,
                 F.transform("_cc", lambda s: s["_content"])
                 .alias("chunk_contents"))
     )
-    return df.join(contents, key_col, "left")
+    return df.join(contents, key_col, "left").withColumn(
+        "chunk_contents",
+        F.coalesce("chunk_contents", F.array().cast("array<string>")))
 
 
 def node_chunk_contents(nodes: DataFrame, chunks: DataFrame,
@@ -277,17 +310,49 @@ def query_graph(
     edges: DataFrame,
     params: QueryParameters,
     edges_embedded: DataFrame | None = None,
+    log=None,
 ) -> dict:
     """MixedQueryProcessor.query (graph_service.py:1890-2071):
       1. structured prefilter (Q11)
       2. no text -> hydrate all filtered triples (Q12)
          text    -> embed query, top-k sim search (Q9), relevance filter (Q13),
                     optional summarise (Q14), hydrate survivors
-    Returns {"triples": DF, "nodes": DF, "answer": str | None}.
+    Returns {"triples": DF, "nodes": DF, "answer": str | None, "query_id"}.
 
     ``edges_embedded`` (edge_id, verbalized, embedding) is the precomputed V2
     table; if absent it is derived on the fly (fine at query scale — the
-    structured prefilter has already shrunk the candidate set)."""
+    structured prefilter has already shrunk the candidate set).
+
+    ``log`` (io.catalog.QueryLog): when given, the query document is recorded
+    BEFORE execution and the status/response/returned triple+node ids after,
+    mirroring Entry C's persistence (graph_service.py:1938-1969, 2046-2054).
+    Recording ids forces the result (human-scale by contract)."""
+    query_id = None
+    if log is not None:
+        query_id = log.start(params.graph or "default", params,
+                             workspace=params.workspace or "default",
+                             created_by=params.created_by or "default")
+    try:
+        out = _query_graph(nodes, edges, params, edges_embedded)
+    except Exception as exc:
+        if log is not None:
+            log.fail(query_id, f"{type(exc).__name__}: {exc}")
+        raise
+    if log is not None:
+        triple_ids = sorted(
+            r["edge_id"] for r in out["triples"].select("edge_id").collect())
+        node_ids = sorted(
+            r["node_id"] for r in out["nodes"].select("node_id").collect())
+        log.finish(query_id, out["answer"], triple_ids, node_ids)
+    out["query_id"] = query_id
+    return out
+
+
+def _query_graph(nodes, edges, params, edges_embedded):
+    nodes = scope_filter(nodes, params.graph, params.workspace,
+                         params.created_by)
+    edges = scope_filter(edges, params.graph, params.workspace,
+                         params.created_by)
     filtered = structured_filter(
         nodes, edges, params.entities, params.relations, params.values)
 

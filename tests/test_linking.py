@@ -123,6 +123,7 @@ def test_merge_nodes_interactive_l6(spark):
            hp={"k": ["1"]}),
         _t("u", "c2", "A2", "company", "acquired", "B", "company",
            hp={"k": ["2"]}),
+        _t("u", "c3", "A", "company", "has service", "s", "service"),
     ])
     nodes = build_nodes(triples, graph="g")
     edges = build_edges(triples, nodes, graph="g")
@@ -134,7 +135,74 @@ def test_merge_nodes_interactive_l6(spark):
     assert merged["name"] == "A"
     assert merged["properties"]["k"] == ["1", "2"]
     assert new_edges.filter(F.col("head_id") == ids["A2"]).count() == 0
-    assert new_edges.filter(F.col("head_id") == ids["A"]).count() == 2
+    # the two 'acquired' edges collapse onto one key: chunks union (L4 law,
+    # graph_service.py:645-691), edge_id recomputed, repointed endpoint
+    # renamed to the merged node
+    acq = new_edges.filter(F.col("rel_type") == "acquired").collect()
+    assert len(acq) == 1
+    assert acq[0]["chunks"] == ["c1", "c2"]
+    assert acq[0]["head"] == "A"
+    assert acq[0]["edge_id"] is not None
+    # untouched edge survives unchanged
+    assert new_edges.filter(F.col("rel_type") == "has service").count() == 1
+    # no duplicate edge keys remain
+    assert new_edges.count() == new_edges.select(
+        "head_id", "tail_id", "rel_type").distinct().count()
+
+
+def test_merge_law_df_matches_merge_string_props_empty_and_none(spark):
+    """ADVICE parity: the bulk DF merge (_merged_props_df via build_nodes) and
+    the interactive fold (_merge_props_col via merge_nodes_interactive) must
+    both implement textcore.merge_string_props exactly, including keys whose
+    value lists are empty ([] kept), None (key dropped for that row), and
+    null elements inside lists (dropped)."""
+    from knowledge_graph_studio_spark.textcore import merge_string_props
+
+    prop_rows = [
+        {"empty": [], "mixed": ["a", None], "nullv": None},
+        {"empty": [], "mixed": ["b"], "solo": ["x"]},
+    ]
+    expected = merge_string_props(prop_rows)
+    assert expected == {"empty": [], "mixed": ["a", "b"], "solo": ["x"]}
+
+    triples = _triples_df(spark, [
+        _t("u", "c1", "E", "company", "r", "T", "company", hp=prop_rows[0]),
+        _t("u", "c2", "E", "company", "r", "T", "company", hp=prop_rows[1]),
+    ])
+    nodes = build_nodes(triples, graph="g")
+    got_bulk = nodes.filter("name = 'E'").collect()[0]["properties"]
+    assert dict(got_bulk) == expected
+
+    # interactive path: two single-prop nodes merged into one
+    edges = build_edges(triples, nodes, graph="g")
+    n2 = _triples_df(spark, [
+        _t("u", "c1", "E1", "company", "r", "T", "company", hp=prop_rows[0]),
+        _t("u", "c2", "E2", "company", "r", "T", "company", hp=prop_rows[1]),
+    ])
+    nodes2 = build_nodes(n2, graph="g")
+    edges2 = build_edges(n2, nodes2, graph="g")
+    ids = {r["name"]: r["node_id"] for r in nodes2.collect()}
+    merged_nodes, _ = merge_nodes_interactive(
+        nodes2, edges2, from_ids=[ids["E2"]], to_id=ids["E1"])
+    got_inter = merged_nodes.filter(
+        F.col("node_id") == ids["E1"]).collect()[0]["properties"]
+    assert dict(got_inter) == expected
+
+
+def test_build_nodes_chunk_count_exact_under_cap(spark):
+    rows = [_t("u", f"c{i}", "Hot", "company", "r", f"T{i}", "company")
+            for i in range(10)]
+    # same entity mentioned twice in one chunk: mention_count 12, chunk_count 10
+    rows += [_t("u", "c0", "Hot", "company", "r2", "T0", "company"),
+             _t("u", "c1", "Hot", "company", "r2", "T1", "company")]
+    triples = _triples_df(spark, rows)
+    n = build_nodes(triples, graph="g", max_chunks=3).filter("name = 'Hot'")
+    row = n.collect()[0]
+    assert len(row["chunks"]) == 3          # capped provenance
+    assert row["chunk_count"] == 10         # exact distinct chunks, uncapped
+    assert row["mention_count"] == 12       # endpoint occurrences
+    uncapped = build_nodes(triples, graph="g").filter("name = 'Hot'").collect()[0]
+    assert uncapped["chunk_count"] == len(uncapped["chunks"]) == 10
 
 
 def test_fuzzy_pairs_exact_recall_for_first_char_indels(spark):

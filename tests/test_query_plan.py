@@ -160,3 +160,21 @@ def test_hydrate_chunk_contents_slice8(spark, graph):
     assert all(c is not None for c in busiest["chunk_contents"])
     n_out = node_chunk_contents(graph["nodes"], chunks, limit=3).collect()
     assert all(len(r["chunk_contents"]) <= 3 for r in n_out)
+
+
+def test_hydrate_chunk_contents_empty_and_null_arrays(spark, graph):
+    """Rows with [] or NULL chunks must survive hydration with a well-typed
+    empty list (ADVICE: explode dropped them, leaving NULL chunk_contents)."""
+    from knowledge_graph_studio_spark.operators.chunking import pages_to_chunks
+    from knowledge_graph_studio_spark.plans.query import hydrate_chunk_contents
+
+    chunks = pages_to_chunks(synthetic_pages(spark, 20, seed=42, partitions=4))
+    df = spark.createDataFrame(
+        [(1, ["missing-chunk"]), (2, []), (3, None)],
+        "edge_id long, chunks array<string>",
+    )
+    rows = {r["edge_id"]: r["chunk_contents"]
+            for r in hydrate_chunk_contents(df, chunks).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == [] and rows[3] == []
+    assert rows[1] == [None]  # unknown chunk id: joined content is NULL

@@ -20,7 +20,7 @@ Methodology notes (each choice mirrors real-cluster practice):
     against the larger level only).
 
 The measured job is the flagship KG construction lineage
-(pipeline.build_graph with fuzzy+CC on, bounded provenance max_chunks=2048)
+(pipeline.build_graph with fuzzy+CC on, bounded provenance max_chunks=2048, max_prop_vals=2048)
 over a deterministic synthetic crawl.
 
 Usage:
@@ -127,7 +127,7 @@ def worker(cores: int, pages: int, partitions: int,
     # max_chunks: bounded per-row provenance (the web-scale config; exact
     # set-union arrays for the hot entity grow O(corpus) and serialize into
     # one final task — see build_nodes docstring)
-    out = build_graph(spark, src, fuzzy=True, max_chunks=2048)
+    out = build_graph(spark, src, fuzzy=True, max_chunks=2048, max_prop_vals=2048)
     n_triples = out["triples"].count()
     n_nodes = out["nodes"].count()
     n_edges = out["edges"].count()
