@@ -30,6 +30,7 @@ HEADLINE = [
     "semi_join_filter",
     "topk_cosine",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "minhash_lsh",

@@ -351,7 +351,15 @@ def q_dedup_ngram_jaccard(spark, sf):
     from .operators.dedup import cap_shingle_df
 
     d = _read(spark, sf, "documents")
-    sh = cap_shingle_df(_shingles(d).persist(), max_df=1000).persist()
+    # join on the 64-bit shingle hash, not the string: same partitioning, far
+    # cheaper key compare/serialize in the self-join. Collision risk for m
+    # distinct shingles is ~m^2/2^65 (~1e-7 at 10^6 shingles) — the oracle
+    # compare would catch one, and none has ever bound.
+    sh = (
+        cap_shingle_df(_shingles(d).persist(), max_df=1000)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .persist()
+    )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -594,6 +602,17 @@ def q_embedding_neardup_lsh(spark, sf):
     return cosine_neardup_lsh(e, threshold=0.4, n_planes=2, n_tables=16)
 
 
+def q_regex_search(spark, sf):
+    """Q1 $regex: the reference's case-insensitive name search
+    (routers/graphs.py:143-166 `$regex` + `$options: "i"`). Native rlike —
+    stays inside whole-stage codegen; on a regex that is a literal prefix
+    Catalyst rewrites to StartsWith and pushes it to the scan."""
+    d = _read(spark, sf, "documents")
+    return d.filter(
+        F.col("text").rlike("(?i)spark [a-z]+ (join|shuffle)")
+    ).select("doc_id")
+
+
 def q_kg_workspace_tags(spark, sf):
     """Workspace tag set-union over a REAL chunks table carrying the
     reference's tags/user_metadata columns (with_chunk_metadata +
@@ -640,6 +659,7 @@ QUERIES: dict[str, _T] = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "kg_workspace_tags": q_kg_workspace_tags,
+    "regex_search": q_regex_search,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -807,6 +827,9 @@ ORACLE_SQL: dict[str, str] = {
         select 'w1' as workspace,
                array_to_string(list_sort(list(distinct 't' || (doc_id % 7)::varchar)), ',') as tags
         from documents""",
+    "regex_search": """
+        select doc_id from documents
+        where regexp_matches(text, 'spark [a-z]+ (join|shuffle)', 'i')""",
     "lang_id": f"""
         with t as (select doc_id, string_split(text,' ') as toks from documents)
         select doc_id, len(toks) as n_tokens,

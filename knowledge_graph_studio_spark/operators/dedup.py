@@ -180,6 +180,9 @@ def minhash_neardup_pairs(
                         k=kw.get("shingle_k", 3)).persist()
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
+    # 64-bit hash join key (cheaper than string equality; collision odds
+    # ~m^2/2^65 — see driver_contract.q_dedup_ngram_jaccard)
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "shingle")
     b = sh.select(F.col("doc_id").alias("db"), "shingle")

@@ -71,26 +71,39 @@ def _ids_mat(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+_GEMM_ROW_BLOCK = 2048  # bounds the sims slab at block x |B| float64
+
+
 def _gemm_pairs(ids_a: np.ndarray, mat_a: np.ndarray,
                 ids_b: np.ndarray, mat_b: np.ndarray,
                 threshold: float, same: bool) -> pd.DataFrame:
     """Dense cosine kernel: emit (va, vb), va < vb, for sims >= threshold.
-    `same=True` means both sides are the same set (dedupe by id order)."""
+    `same=True` means both sides are the same set (dedupe by id order).
+    mat_a is processed in row blocks so peak memory is
+    _GEMM_ROW_BLOCK x |B| doubles (a 10k-vector bucket would otherwise
+    allocate a |B|^2 slab — 800 MB — in one task)."""
     if len(ids_a) == 0 or len(ids_b) == 0:
         return pd.DataFrame({"va": np.array([], dtype=np.int64),
                              "vb": np.array([], dtype=np.int64)})
-    sims = mat_a @ mat_b.T
-    ai, bj = np.nonzero(sims >= threshold)
-    xa, xb = ids_a[ai], ids_b[bj]
-    if same:
-        # the symmetric matrix yields both (x, y) and (y, x); keep one
-        keep = xa < xb
-        va, vb = xa[keep], xb[keep]
-    else:
-        va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
-        keep = va < vb
-        va, vb = va[keep], vb[keep]
-    return pd.DataFrame({"va": va, "vb": vb})
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for lo in range(0, len(ids_a), _GEMM_ROW_BLOCK):
+        hi = lo + _GEMM_ROW_BLOCK
+        sims = mat_a[lo:hi] @ mat_b.T
+        ai, bj = np.nonzero(sims >= threshold)
+        xa, xb = ids_a[lo:hi][ai], ids_b[bj]
+        if same:
+            # the symmetric matrix yields both (x, y) and (y, x); keep one
+            keep = xa < xb
+            outs_a.append(xa[keep])
+            outs_b.append(xb[keep])
+        else:
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+            keep = va < vb
+            outs_a.append(va[keep])
+            outs_b.append(vb[keep])
+    return pd.DataFrame({"va": np.concatenate(outs_a),
+                         "vb": np.concatenate(outs_b)})
 
 
 def cosine_allpairs(

@@ -209,6 +209,48 @@ def summarise(verbalized_rows: list[str], question: str) -> str:
 
 
 # --------------------------------------------------------------------------- #
+# Q17 — entity/relation match improvement (LLM stand-in, same contract)
+# --------------------------------------------------------------------------- #
+
+def improve_matching(
+    inventory: DataFrame,
+    extracted: list[str],
+    matched: list[str] | None = None,
+    name_col: str = "name",
+) -> list[str]:
+    """Q17 (utilities/builders.py:439-577 improve_entities_matching /
+    improve_relations_matching): the reference prompts an LLM with the
+    query-extracted terms, the graph's inventory, and the already-matched
+    list, expecting back an improved match list. Deterministic stand-in with
+    the same contract: for each unmatched extracted term, inventory names
+    that match case-insensitively exactly, within edit distance 1, or that
+    contain the term as a whitespace token are added; the result is the
+    sorted union with ``matched``.
+
+    Scale shape: the extracted terms are query-scale literals; the inventory
+    (potentially the whole node table) is scanned ONCE with a codegen'd OR
+    predicate — no join, no shuffle; the collected result is bounded by the
+    match count (query-scale by contract). Apply to nodes for entities and
+    to ``edges.select(rel_type)`` distinct for relations."""
+    matched = list(matched or [])
+    already = {m.lower() for m in matched}
+    terms = sorted({t.lower() for t in extracted} - already)
+    if not terms:
+        return sorted(set(matched))
+    lname = F.lower(F.col(name_col))
+    toks = F.split(lname, " ")
+    pred = None
+    for t in terms:
+        p = ((lname == t)
+             | (F.levenshtein(lname, F.lit(t)) <= 1)
+             | F.array_contains(toks, t))
+        pred = p if pred is None else (pred | p)
+    hits = [r[0] for r in
+            inventory.select(F.col(name_col)).filter(pred).distinct().collect()]
+    return sorted(set(matched) | set(hits))
+
+
+# --------------------------------------------------------------------------- #
 # Q15/Q16/Q18/Q7 — provenance, listings, compression, pagination
 # --------------------------------------------------------------------------- #
 

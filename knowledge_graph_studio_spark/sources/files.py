@@ -10,9 +10,9 @@ already processes:
   * object chunks  (content_obj: map<str,str>)  <- csv / json rows
 
 Storage fetch is the table format's job (binaryFile/parquet readers), not a
-status machine. PDF decode needs a PDF library the sandbox lacks — the reader
-is stubbed behind NotImplementedError with the Spark plumbing (binaryFile
-scan, schema, batch shape) real, mirroring the multimodal decoder pattern.
+status machine. PDF decode prefers pypdf when installed and otherwise uses
+the bundled minimal extractor (``pdfmini`` — FlateDecode + literal-string
+text operators; honest limits documented there).
 """
 
 from __future__ import annotations
@@ -80,13 +80,49 @@ def read_html_chunks(spark: SparkSession, path: str,
     return pages_to_chunks(raw, max_chars=max_chars)
 
 
-def read_pdf_chunks(spark: SparkSession, path: str) -> DataFrame:
-    """S1: PDF -> per-page text -> chunks (crud/chunks.py:439-443 uses
-    PdfReader). STUB: no PDF codec in this environment. The binaryFile scan +
-    per-page chunk schema are the contract; install pypdf and replace the
-    body with a mapInPandas over (path, content) -> (url, page, text) rows
-    feeding pages_to_chunks."""
-    raise NotImplementedError(
-        "PDF decoding requires a PDF library not present in this "
-        "environment; see docstring for the production wiring."
+def read_pdf_chunks(spark: SparkSession, path: str,
+                    max_chars: int = 1024) -> DataFrame:
+    """S1/S6: PDF -> per-page text -> string chunks (crud/chunks.py:439-443:
+    PdfReader page.extract_text() per page, then the shared splitter).
+
+    binaryFile scan -> Arrow-batched mapInPandas decode -> one row per page
+    (url = "<path>#page=N") -> pages_to_chunks. Decoder preference: pypdf
+    when importable (full codec); else the bundled minimal pure-Python
+    extractor (pdfmini — FlateDecode + literal-string text operators; see
+    its module docstring for the honest limits)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            from pypdf import PdfReader
+
+            def pages_of(data: bytes) -> list[str]:
+                return [p.extract_text() or ""
+                        for p in PdfReader(io.BytesIO(data)).pages]
+        except ImportError:
+            from knowledge_graph_studio_spark.pdfmini import (
+                pdf_extract_pages as pages_of,
+            )
+        for pdf in batches:
+            rows = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for i, txt in enumerate(pages_of(bytes(content))):
+                    rows.append((f"{p}#page={i + 1}", txt))
+            yield pd.DataFrame(rows, columns=["url", "text"])
+
+    pages_df = raw.select("path", "content").mapInPandas(
+        run, "url string, text string")
+    shaped = pages_df.select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
     )
+    return pages_to_chunks(shaped, max_chars=max_chars)

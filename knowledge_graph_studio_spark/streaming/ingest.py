@@ -120,6 +120,64 @@ def mention_rollup(
     )
 
 
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("first_seen", T.TimestampType(), True),
+        T.StructField("first_url", T.StringType(), True),
+    ]
+)
+
+_FIRST_SEEN_STATE = T.StructType(
+    [T.StructField("first_seen", T.TimestampType()),
+     T.StructField("first_url", T.StringType())]
+)
+
+
+def first_seen_entities(mentions: DataFrame,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): emit each
+    (name, type) entity exactly once — on the micro-batch where it first
+    appears — with its earliest event time and source url. The state per key
+    is one (timestamp, url) pair, so total state is bounded by |entities|,
+    not by stream length (no watermark-based eviction needed; entity
+    vocabularies are the small side of a crawl).
+
+    This is the stream-native "is this entity new?" primitive the batch
+    pipeline answers with an anti-join against the nodes table — useful for
+    alerting on first mentions and for incremental gazetteer growth."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        batch_min_ts, batch_url = None, None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            idx = pdf["warc_ts"].idxmin()
+            ts, url = pdf["warc_ts"][idx], pdf["url"][idx]
+            if batch_min_ts is None or (ts is not None and ts < batch_min_ts):
+                batch_min_ts, batch_url = ts, url
+        if state.exists:
+            return iter(())  # already emitted; state bounded at 1 row/key
+        state.update((batch_min_ts, batch_url))
+        return iter([pd.DataFrame(
+            {"name": [key[0]], "type": [key[1]],
+             "first_seen": [batch_min_ts], "first_url": [batch_url]})])
+
+    src = mentions
+    if mentions.isStreaming:
+        src = mentions.withWatermark("warc_ts", watermark)
+    return src.groupBy("name", "type").applyInPandasWithState(
+        fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_incremental_build(
     spark: SparkSession,
     pages_path: str,

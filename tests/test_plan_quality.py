@@ -64,6 +64,30 @@ def test_rule_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_scope_filter_prunes_tenant_partitions(spark, tmp_path):
+    """scope_filter's equality predicates must turn into PartitionFilters
+    when nodes/edges are written partitioned by (workspace, graph) — whole
+    tenants get pruned before the scan (the 100 TB access path)."""
+    from knowledge_graph_studio_spark.operators.extraction import TRIPLES_SCHEMA
+    from knowledge_graph_studio_spark.operators.linking import build_nodes
+    from knowledge_graph_studio_spark.plans.query import scope_filter
+
+    rows = [("u", "c1", "Acme", "company", "acquired", "Globex", "company",
+             None, None, None)]
+    tri = spark.createDataFrame(rows, schema=TRIPLES_SCHEMA)
+    parts = [build_nodes(tri, graph="g", workspace=w, created_by="u1")
+             for w in ("w1", "w2")]
+    path = str(tmp_path / "nodes")
+    parts[0].unionByName(parts[1]).write.partitionBy(
+        "workspace", "graph").parquet(path)
+    scoped = scope_filter(spark.read.parquet(path),
+                          graph="g", workspace="w1")
+    plan = _plan(scoped)
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "workspace" in pf and "w1" in pf, \
+        "workspace equality must prune partitions, not filter post-scan"
+
+
 def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     from knowledge_graph_studio_spark.driver_contract import q_pricing_summary
 

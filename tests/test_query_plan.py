@@ -162,6 +162,24 @@ def test_hydrate_chunk_contents_slice8(spark, graph):
     assert all(len(r["chunk_contents"]) <= 3 for r in n_out)
 
 
+def test_improve_matching_q17(spark):
+    from knowledge_graph_studio_spark.plans.query import improve_matching
+
+    inv = spark.createDataFrame(
+        [("OpenAI",), ("Globex Corporation",), ("Acme",), ("Initech",)],
+        ["name"])
+    # exact (case-insensitive), edit-distance-1, and token matches improve
+    # the unmatched extracted terms; already-matched names pass through
+    got = improve_matching(inv, extracted=["openai", "globex", "Acmee", "zzz"],
+                           matched=["Initech"])
+    assert got == ["Acme", "Globex Corporation", "Initech", "OpenAI"]
+    # relation variant: same contract over the rel_type inventory
+    rels = spark.createDataFrame([("runs",), ("acquired",)], ["rel_type"])
+    assert improve_matching(rels, ["run"], name_col="rel_type") == ["runs"]
+    # nothing unmatched -> matched passthrough, no scan result required
+    assert improve_matching(inv, ["initech"], matched=["Initech"]) == ["Initech"]
+
+
 def test_hydrate_chunk_contents_empty_and_null_arrays(spark, graph):
     """Rows with [] or NULL chunks must survive hydration with a well-typed
     empty list (ADVICE: explode dropped them, leaving NULL chunk_contents)."""

@@ -52,6 +52,62 @@ def test_html_chunks_byte_identical(spark, tmp_path):
     assert "Hello & welcome" in chunks[0]["content"]
 
 
-def test_pdf_reader_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError):
-        read_pdf_chunks(spark, "/nonexistent.pdf")
+def _minimal_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Hand-rolled minimal PDF (spec-shaped: catalog, page tree, one
+    FlateDecode content stream per page) — deterministic test fixture."""
+    import zlib
+
+    objs: list[bytes] = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                .encode())
+    for i, text in enumerate(pages):
+        page_no, cont_no = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {cont_no} 0 R >>".encode())
+        lines = text.split("\n")
+        ops = b"BT /F1 12 Tf 72 720 Td "
+        for j, ln in enumerate(lines):
+            esc = ln.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            ops += (b"T* " if j else b"") + b"(" + esc.encode("latin-1") + b") Tj "
+        ops += b"ET"
+        body = zlib.compress(ops) if compress else ops
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(b"<< " + filt + f"/Length {len(body)} >>".encode()
+                    + b"\nstream\n" + body + b"endstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs):
+        offsets.append(len(out))
+        out += f"{i + 1} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_pdfmini_extracts_pages_and_escapes():
+    from knowledge_graph_studio_spark.pdfmini import pdf_extract_pages
+
+    pdf = _minimal_pdf(["Hello (PDF) world\nSecond line", "Page two"])
+    pages = pdf_extract_pages(pdf)
+    assert pages == ["Hello (PDF) world\nSecond line", "Page two"]
+    # uncompressed streams decode too
+    pages_u = pdf_extract_pages(_minimal_pdf(["plain"], compress=False))
+    assert pages_u == ["plain"]
+
+
+def test_pdf_chunks_end_to_end(spark, tmp_path):
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(_minimal_pdf(["alpha beta gamma", "delta epsilon"]))
+    rows = read_pdf_chunks(spark, str(p)).orderBy("url").collect()
+    assert [r["url"].split("#")[-1] for r in rows] == ["page=1", "page=2"]
+    assert rows[0]["content"] == "alpha beta gamma"
+    assert rows[1]["content"] == "delta epsilon"
+    assert all(r["chunk_id"].endswith(":0") for r in rows)  # offset-keyed

@@ -9,7 +9,8 @@ from knowledge_graph_studio_spark.io.catalog import RunManifest
 from knowledge_graph_studio_spark.pipeline import triples_from_pages
 from knowledge_graph_studio_spark.sources.pages import synthetic_pages
 from knowledge_graph_studio_spark.streaming.ingest import (
-    mention_rollup, page_mentions_with_ts, run_incremental_build,
+    first_seen_entities, mention_rollup, page_mentions_with_ts,
+    run_incremental_build,
 )
 
 N_PAGES = 120
@@ -56,6 +57,32 @@ def test_incremental_build_is_idempotent_on_rerun(spark, pages_dir, tmp_path):
     run_incremental_build(spark, pages_dir, workdir)
     n2 = spark.read.parquet(f"{workdir}/triples").count()
     assert n1 == n2
+
+
+def test_first_seen_entities_stateful(spark, pages_dir):
+    """applyInPandasWithState: each entity is emitted exactly once across
+    micro-batches, carrying its earliest event time in the emitting batch."""
+    batch_pages = spark.read.parquet(pages_dir)
+    all_entities = {
+        (r["name"], r["type"])
+        for r in page_mentions_with_ts(batch_pages)
+        .select("name", "type").distinct().collect()
+    }
+    assert all_entities
+
+    stream = spark.readStream.schema(batch_pages.schema).option(
+        "maxFilesPerTrigger", 2).parquet(pages_dir)
+    q = (
+        first_seen_entities(page_mentions_with_ts(stream))
+        .writeStream.format("memory").queryName("first_seen")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from first_seen").collect()
+    got = [(r["name"], r["type"]) for r in rows]
+    assert len(got) == len(set(got)), "an entity was emitted twice"
+    assert set(got) == all_entities
+    assert all(r["first_seen"] is not None and r["first_url"] for r in rows)
 
 
 def test_mention_rollup_stream_equals_batch(spark, pages_dir, tmp_path):
