@@ -32,14 +32,19 @@ _LOG = logging.getLogger(__name__)
 
 def token_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    k: int = 3) -> DataFrame:
-    """distinct k-token shingles per doc (native sequence/transform)."""
-    toks = F.split(F.col(text_col), " ")
+    """distinct k-token shingles per doc (native sequence/transform).
+    Tokens are materialized as a column first — lambda bodies get no
+    common-subexpression elimination, so referencing split() inside the
+    transform would re-split the text ~k*|tokens| times per row (see
+    textstats.shingles)."""
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(k)])
     )
-    return df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(F.array_distinct(sh)).alias("shingle"))
+    return src.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def cap_shingle_df(sh: DataFrame, max_df: int, log: bool = True) -> DataFrame:

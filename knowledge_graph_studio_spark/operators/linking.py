@@ -272,15 +272,18 @@ def canonical_mapping(
         pairs = pairs.union(p)
     pairs = pairs.persist()
 
-    n_pairs = pairs.count()
     spark = triples.sparkSession
+    # ONE bounded job decides the path AND fetches the small case's data:
+    # limit(MAX+1).collect() caps driver memory exactly like a count-then-
+    # collect would, without paying two full jobs in the common (small) path.
+    head = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).collect()
+    n_pairs = len(head)
     if n_pairs <= DRIVER_CC_MAX_PAIRS:
         # small alias graph: union-find on the driver, broadcast the result
         from ..functions.literals import literal_df
 
         comp = connected_components_driver(
-            [(r["src"], r["dst"]) for r in pairs.collect()]
-        )
+            [(r["src"], r["dst"]) for r in head])
         if not comp:
             return spark.createDataFrame(
                 [], "name string, type string, canonical_name string")
