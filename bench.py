@@ -86,6 +86,32 @@ def main() -> None:
     timings["kg_pipeline"] = round(kg_sec, 3)
     t_suite += kg_sec
 
+    # engine-only variant: pages pre-materialized to tmpfs, measured job is
+    # scan -> extraction -> canonicalize -> merge (the scaling bench's
+    # official `parquet` shape; generation excluded)
+    pages_path = f"/dev/shm/kg_bench_pages_n{n_pages}"
+    if not os.path.exists(f"{pages_path}/_SUCCESS"):
+        synthetic_pages(spark, n_pages, seed=42, partitions=cores * 2) \
+            .write.mode("overwrite").parquet(pages_path)
+    # the table is small relative to maxPartitionBytes (128 MB): without a
+    # lower bound the scan packs everything into 1-2 input splits and the
+    # extraction stage loses its parallelism — size splits to ~2x cores,
+    # exactly as a real deployment tunes files.maxPartitionBytes to its scan
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
+    spark.read.parquet(pages_path).selectExpr("sum(length(html))").collect()
+    t0 = time.time()
+    out2 = build_graph(spark, spark.read.parquet(pages_path),
+                       max_chunks=2048, max_prop_vals=2048)
+    n_triples2 = out2["triples"].count()
+    out2["nodes"].count()
+    out2["edges"].count()
+    kg_engine_sec = time.time() - t0
+    timings["kg_pipeline_engine"] = round(kg_engine_sec, 3)
+    t_suite += kg_engine_sec
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": round(t_suite, 3),
@@ -99,6 +125,8 @@ def main() -> None:
         "kg_edges": n_edges,
         "kg_triples_per_sec": round(n_triples / kg_sec, 2),
         "kg_pages_per_sec": round(n_pages / kg_sec, 2),
+        "kg_engine_triples_per_sec": round(n_triples2 / kg_engine_sec, 2),
+        "kg_engine_pages_per_sec": round(n_pages / kg_engine_sec, 2),
     }))
     spark.stop()
 

@@ -112,6 +112,14 @@ def worker(cores: int, pages: int, partitions: int,
     spark = get_spark(f"kg-scale-{cores}", cores=cores,
                       shuffle_partitions=2 * cores)
     spark.sparkContext.setLogLevel("ERROR")
+    if pages_path:
+        # size parquet input splits so the scan parallelizes: the tmpfs table
+        # is ~2 KB/page, so 128 MB splits would pack 768k pages into ~12
+        # partitions and cap the extraction stage's parallelism. 8 MB splits
+        # (same FIXED value at both levels — identical input splits) give
+        # the scan data-determined granularity like a production scan tune.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
     # Warm-up: JVM codegen + the per-core Python workers (import pyspark/
     # pandas/our package, compile the gazetteer regex). On a real cluster the
     # executors' Python daemons are long-lived, so steady-state throughput is
