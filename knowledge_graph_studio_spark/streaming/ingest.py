@@ -155,9 +155,12 @@ def first_seen_entities(mentions: DataFrame,
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            idx = pdf["warc_ts"].idxmin()
+            # idxmin raises on an all-NaT column; fall back to first row
+            idx = (pdf["warc_ts"].idxmin()
+                   if pdf["warc_ts"].notna().any() else pdf.index[0])
             ts, url = pdf["warc_ts"][idx], pdf["url"][idx]
-            if batch_min_ts is None or (ts is not None and ts < batch_min_ts):
+            if batch_min_ts is None or pd.isna(batch_min_ts) or (
+                    not pd.isna(ts) and ts < batch_min_ts):
                 batch_min_ts, batch_url = ts, url
         if state.exists:
             return iter(())  # already emitted; state bounded at 1 row/key

@@ -189,6 +189,43 @@ def test_merge_law_df_matches_merge_string_props_empty_and_none(spark):
     assert dict(got_inter) == expected
 
 
+def test_merge_law_df_randomized_vs_pure_python(spark):
+    """30 random entities x random prop dicts (incl. None values, empty
+    lists, None elements): the bulk DF merge must equal merge_string_props
+    exactly on every one."""
+    import random
+
+    from knowledge_graph_studio_spark.textcore import merge_string_props
+
+    rng = random.Random(11)
+
+    def rand_props():
+        d = {}
+        for k in "abcd":
+            if rng.random() < 0.6:
+                r = rng.random()
+                if r < 0.15:
+                    d[k] = None
+                elif r < 0.3:
+                    d[k] = []
+                else:
+                    d[k] = [rng.choice(["x", "y", "z", None])
+                            for _ in range(rng.randrange(1, 4))]
+        return d
+
+    cases = [(f"E{i}", [rand_props() for _ in range(rng.randrange(1, 4))])
+             for i in range(30)]
+    rows = []
+    for name, dicts in cases:
+        for j, d in enumerate(dicts):
+            rows.append(_t("u", f"{name}-c{j}", name, "company",
+                           "r", "T", "company", hp=d))
+    nodes = build_nodes(_triples_df(spark, rows), graph="g")
+    got = {r["name"]: dict(r["properties"]) for r in nodes.collect()}
+    for name, dicts in cases:
+        assert got[name] == merge_string_props(dicts), (name, dicts)
+
+
 def test_build_nodes_chunk_count_exact_under_cap(spark):
     rows = [_t("u", f"c{i}", "Hot", "company", "r", f"T{i}", "company")
             for i in range(10)]
@@ -203,6 +240,34 @@ def test_build_nodes_chunk_count_exact_under_cap(spark):
     assert row["mention_count"] == 12       # endpoint occurrences
     uncapped = build_nodes(triples, graph="g").filter("name = 'Hot'").collect()[0]
     assert uncapped["chunk_count"] == len(uncapped["chunks"]) == 10
+
+
+def test_connected_components_matches_union_find_random(spark):
+    """Distributed min-label CC == driver union-find on a random multigraph
+    (same partition of members AND the min-member label law)."""
+    import random
+    from collections import defaultdict
+
+    from knowledge_graph_studio_spark.operators.linking import (
+        connected_components_driver,
+    )
+
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(300):03d}", f"n{rng.randrange(300):03d}")
+             for _ in range(400)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    cc = {r["member"]: r["component"]
+          for r in connected_components(df).collect()}
+    uf = connected_components_driver(edges)
+    assert set(cc) == set(uf)
+    g_dist, g_drv = defaultdict(set), defaultdict(set)
+    for m, c in cc.items():
+        g_dist[c].add(m)
+    for m, c in uf.items():
+        g_drv[c].add(m)
+    assert (set(map(frozenset, g_dist.values()))
+            == set(map(frozenset, g_drv.values())))
+    assert all(c == min(ms) for c, ms in g_dist.items())
 
 
 def test_fuzzy_pairs_exact_recall_for_first_char_indels(spark):
