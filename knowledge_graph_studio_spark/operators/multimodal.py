@@ -2,10 +2,11 @@
 
 A 100 TB training-data pipeline carries media alongside text. The Spark-side
 plumbing here is real and tested — schemas, Arrow batch shapes, partitioning,
-UDF signatures — while the codec step is a deterministic fake behind
-``set_decoder`` (the sandbox has no image/audio libraries; BUILD NOTE: swap in
-Pillow/torchaudio decoders via ``set_decoder`` in production, the operator
-code does not change).
+UDF signatures. The default codec REALLY decodes the uncompressed container
+formats (PPM/PGM, 24-bit BMP, PCM WAV — ``mediamini``) and falls back to a
+deterministic fake for compressed codecs the sandbox has no libraries for
+(BUILD NOTE: register Pillow/torchaudio decoders via ``set_decoder`` in
+production, the operator code does not change).
 
 Design rules encoded here:
   * media bytes stay OPAQUE to Spark (binary column) — never explode pixels
@@ -59,7 +60,16 @@ def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
     return rng.random(min(n, 4096), dtype=np.float64)
 
 
-_DECODER: Callable[[bytes, dict], np.ndarray] = _fake_decode
+def _default_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL decode for uncompressed containers (PPM/PGM/BMP/WAV, sniffed by
+    magic bytes — mediamini); deterministic fake for everything else."""
+    from ..mediamini import decode
+
+    arr = decode(payload or b"")
+    return arr if arr is not None else _fake_decode(payload, meta)
+
+
+_DECODER: Callable[[bytes, dict], np.ndarray] = _default_decode
 
 
 def set_decoder(fn: Callable[[bytes, dict], np.ndarray]) -> None:

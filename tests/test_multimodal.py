@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from knowledge_graph_studio_spark.operators.multimodal import (
     extract_features, filter_by_meta, resize_stub, sample_frames, set_decoder,
-    synthetic_media, _fake_decode,
+    synthetic_media, _default_decode,
 )
 
 
@@ -59,4 +59,72 @@ def test_decoder_hook_swappable(spark):
         feats = extract_features(m, dim=8).collect()
         assert all(np.allclose(r["features"], 1.0) for r in feats)
     finally:
-        set_decoder(_fake_decode)
+        set_decoder(_default_decode)
+
+
+def _ppm(w, h, px):
+    """P6 bytes for a list of (r,g,b) rows."""
+    body = bytes(v for row in px for rgb in row for v in rgb)
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + body
+
+
+def _bmp24(w, h, px):
+    """Uncompressed 24-bit BMP (bottom-up) for px[row][col] = (r,g,b)."""
+    import struct
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for r in range(h - 1, -1, -1):
+        row = b"".join(bytes((b, g, rr)) for rr, g, b in px[r])
+        body += row + b"\x00" * (stride - w * 3)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def _wav16(samples):
+    import struct
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_mediamini_real_decoders():
+    from knowledge_graph_studio_spark.mediamini import decode, sniff
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    ppm = _ppm(2, 2, px)
+    assert sniff(ppm) == "ppm"
+    got = decode(ppm)
+    exp = np.array([v for row in px for rgb in row for v in rgb]) / 255.0
+    assert np.allclose(got, exp)
+
+    bmp = _bmp24(2, 2, px)
+    assert sniff(bmp) == "bmp"
+    assert np.allclose(decode(bmp), exp)  # same pixels, RGB order, top-down
+
+    wav = _wav16([0, 16384, -16384, 32767])
+    assert sniff(wav) == "wav"
+    got_w = decode(wav)
+    assert np.allclose(got_w, [0.0, 0.5, -0.5, 32767 / 32768.0])
+
+    assert decode(b"\x89PNG\r\n") is None  # unsupported -> caller fallback
+
+
+def test_extract_features_real_codec_end_to_end(spark):
+    """A real PPM payload flows through the Arrow-batched feature extractor;
+    features equal the numpy mean-pool of the true pixel values."""
+    px = [[(10 * r + c, 0, 255) for c in range(4)] for r in range(4)]
+    payload = _ppm(4, 4, px)
+    rows = [("img0", "u", payload,
+             {"media_type": "image", "codec": "ppm", "width": 4, "height": 4,
+              "duration_ms": None, "n_bytes": len(payload)})]
+    from knowledge_graph_studio_spark.operators.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=8).collect()[0]["features"]
+    arr = np.array([v for row in px for rgb in row for v in rgb]) / 255.0
+    pads = (-len(arr)) % 8
+    exp = np.pad(arr, (0, pads)).reshape(8, -1).mean(axis=1)
+    assert np.allclose(feats, exp, atol=1e-6)
