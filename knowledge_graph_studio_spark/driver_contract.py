@@ -602,6 +602,17 @@ def q_embedding_neardup_lsh(spark, sf):
     return cosine_neardup_lsh(e, threshold=0.4, n_planes=2, n_tables=16)
 
 
+def q_match_improvement(spark, sf):
+    """Q17 match improvement's distributed scan (plans/query.match_candidates;
+    utilities/builders.py:439-577 contract): inventory names matching the
+    query-extracted terms by exact / edit-distance-1 / token containment."""
+    from .plans.query import match_candidates
+
+    inv = _read(spark, sf, "part").select(F.col("p_name").alias("name"))
+    # one term per match mode: exact, edit-distance-1 (deletion), token
+    return match_candidates(inv, ["red widget", "blue bol", "gizmo"])
+
+
 def q_regex_search(spark, sf):
     """Q1 $regex: the reference's case-insensitive name search
     (routers/graphs.py:143-166 `$regex` + `$options: "i"`). Native rlike —
@@ -660,6 +671,7 @@ QUERIES: dict[str, _T] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "kg_workspace_tags": q_kg_workspace_tags,
     "regex_search": q_regex_search,
+    "match_improvement": q_match_improvement,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -830,6 +842,15 @@ ORACLE_SQL: dict[str, str] = {
     "regex_search": """
         select doc_id from documents
         where regexp_matches(text, 'spark [a-z]+ (join|shuffle)', 'i')""",
+    "match_improvement": """
+        select distinct p_name as name from part
+        where lower(p_name) in ('red widget', 'blue bol', 'gizmo')
+           or levenshtein(lower(p_name), 'red widget') <= 1
+           or levenshtein(lower(p_name), 'blue bol') <= 1
+           or levenshtein(lower(p_name), 'gizmo') <= 1
+           or list_contains(string_split(lower(p_name), ' '), 'red widget')
+           or list_contains(string_split(lower(p_name), ' '), 'blue bol')
+           or list_contains(string_split(lower(p_name), ' '), 'gizmo')""",
     "lang_id": f"""
         with t as (select doc_id, string_split(text,' ') as toks from documents)
         select doc_id, len(toks) as n_tokens,

@@ -602,6 +602,30 @@ def build_edges(
     )
 
 
+def node_chunk_table(
+    triples: DataFrame, graph: str = "default",
+    workspace: str = "default", created_by: str = "default",
+) -> DataFrame:
+    """EXACT, uncapped chunk provenance as a normalized (node_id, chunk_id)
+    table — the queryable companion to build_nodes' capped ``chunks`` array
+    (see its docstring: at web scale the hot entity's full provenance
+    belongs in a side table, not in a per-row array). One union + distinct;
+    write it partitioned by (workspace, graph) next to the nodes table."""
+    ends = (
+        triples.select(F.col("head").alias("name"),
+                       F.col("head_type").alias("type"), "chunk_id")
+        .union(triples.select(F.col("tail").alias("name"),
+                              F.col("tail_type").alias("type"), "chunk_id"))
+    )
+    return ends.distinct().select(
+        _node_id(graph, workspace, created_by).alias("node_id"),
+        F.lit(graph).alias("graph"),
+        F.lit(workspace).alias("workspace"),
+        F.lit(created_by).alias("created_by"),
+        "chunk_id",
+    )
+
+
 def merge_nodes_interactive(
     nodes: DataFrame, edges: DataFrame, from_ids: list[int], to_id: int
 ) -> tuple[DataFrame, DataFrame]:

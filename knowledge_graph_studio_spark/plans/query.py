@@ -237,6 +237,18 @@ def improve_matching(
     terms = sorted({t.lower() for t in extracted} - already)
     if not terms:
         return sorted(set(matched))
+    hits = [r[0] for r in
+            match_candidates(inventory, terms, name_col).collect()]
+    return sorted(set(matched) | set(hits))
+
+
+def match_candidates(
+    inventory: DataFrame, terms: list[str], name_col: str = "name"
+) -> DataFrame:
+    """The distributed scan behind improve_matching: distinct inventory names
+    matching any term case-insensitively exactly, within edit distance 1, or
+    containing the term as a whitespace token. One codegen'd OR predicate,
+    no join, no shuffle (the distinct is over the small hit set)."""
     lname = F.lower(F.col(name_col))
     toks = F.split(lname, " ")
     pred = None
@@ -245,9 +257,7 @@ def improve_matching(
              | (F.levenshtein(lname, F.lit(t)) <= 1)
              | F.array_contains(toks, t))
         pred = p if pred is None else (pred | p)
-    hits = [r[0] for r in
-            inventory.select(F.col(name_col)).filter(pred).distinct().collect()]
-    return sorted(set(matched) | set(hits))
+    return inventory.select(F.col(name_col)).filter(pred).distinct()
 
 
 # --------------------------------------------------------------------------- #

@@ -242,6 +242,22 @@ def test_build_nodes_chunk_count_exact_under_cap(spark):
     assert uncapped["chunk_count"] == len(uncapped["chunks"]) == 10
 
 
+def test_node_chunk_table_exact_uncapped(spark):
+    from knowledge_graph_studio_spark.operators.linking import node_chunk_table
+
+    rows = [_t("u", f"c{i}", "Hot", "company", "r", f"T{i % 3}", "company")
+            for i in range(10)]
+    tri = _triples_df(spark, rows)
+    nodes = build_nodes(tri, graph="g", max_chunks=3)
+    side = node_chunk_table(tri, graph="g")
+    hot_id = nodes.filter("name = 'Hot'").collect()[0]["node_id"]
+    hot_chunks = {r["chunk_id"] for r in
+                  side.filter(F.col("node_id") == hot_id).collect()}
+    assert hot_chunks == {f"c{i}" for i in range(10)}  # uncapped
+    # side-table ids join back onto the (capped) nodes table
+    assert side.join(nodes, "node_id", "left_anti").count() == 0
+
+
 def test_connected_components_matches_union_find_random(spark):
     """Distributed min-label CC == driver union-find on a random multigraph
     (same partition of members AND the min-member label law)."""
