@@ -602,6 +602,85 @@ def build_edges(
     )
 
 
+def upsert_nodes(
+    old: DataFrame, delta: DataFrame, max_chunks: int | None = None,
+) -> DataFrame:
+    """S9 incremental node upsert: merge a DELTA build's nodes into an
+    existing nodes table without re-aggregating history — the reference's
+    UpdateOne-with-$set-pipeline upsert (graph_service.py:524-604) as one
+    groupBy(node_id) re-merge. Properties follow the L2 merge law; chunks
+    set-union (the lexicographic prefix law composes: the prefix of a union
+    is contained in the union of prefixes, so capped inputs stay correct
+    prefixes); mention_count sums exactly. chunk_count sums exactly when the
+    two builds' chunk sets are disjoint (the normal incremental case — new
+    crawl segments mint new url:start chunk ids); for re-crawled overlapping
+    segments it is an upper bound, and node_chunk_table is the exact path."""
+    both = old.unionByName(delta)
+    return both.groupBy("node_id").agg(
+        F.first("graph").alias("graph"),
+        F.first("workspace").alias("workspace"),
+        F.first("created_by").alias("created_by"),
+        F.first("name").alias("name"),
+        F.first("type").alias("type"),
+        _merge_props_col(F.collect_list("properties")).alias("properties"),
+        _capped(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))),
+            max_chunks,
+        ).alias("chunks"),
+        F.sum("mention_count").alias("mention_count"),
+        F.sum("chunk_count").alias("chunk_count"),
+    ).select("node_id", "graph", "workspace", "created_by", "name", "type",
+             "properties", "chunks", "mention_count", "chunk_count")
+
+
+def upsert_edges(
+    old: DataFrame, delta: DataFrame, merged_nodes: DataFrame,
+    max_chunks: int | None = None,
+) -> DataFrame:
+    """S9/L4 incremental triple upsert: chunks = setUnion(current
+    head∩tail node-chunk intersection, old chunks, delta chunks) — exactly
+    the reference's upsert law evaluated against the UPDATED node documents
+    (graph_service.py:668-691: the intersection is recomputed at upsert time
+    from the merged nodes, then unioned with the stored chunk lists).
+    Properties follow the merge law; edge identity is stable (edge_id)."""
+    both = old.unionByName(delta)
+    merged = both.groupBy("edge_id").agg(
+        F.first("graph").alias("graph"),
+        F.first("workspace").alias("workspace"),
+        F.first("created_by").alias("created_by"),
+        F.first("head_id").alias("head_id"),
+        F.first("tail_id").alias("tail_id"),
+        F.first("rel_type").alias("rel_type"),
+        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
+        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
+        _merge_props_col(F.collect_list("properties")).alias("properties"),
+        F.array_distinct(F.flatten(F.collect_list("chunks"))).alias("_own"),
+    )
+    n = merged_nodes.select("node_id", "chunks")
+    out = (
+        merged.join(n.withColumnRenamed("chunks", "_hc"),
+                    merged["head_id"] == n["node_id"], "left").drop("node_id")
+        .join(n.withColumnRenamed("chunks", "_tc"),
+              merged["tail_id"] == n["node_id"], "left").drop("node_id")
+        .withColumn(
+            "chunks",
+            _capped(
+                F.array_sort(F.array_distinct(F.concat(
+                    F.array_intersect(F.coalesce("_hc", F.array()),
+                                      F.coalesce("_tc", F.array())),
+                    F.col("_own"),
+                ))),
+                max_chunks,
+            ),
+        )
+        .drop("_hc", "_tc", "_own")
+    )
+    return out.select("edge_id", "graph", "workspace", "created_by",
+                      "head_id", "tail_id", "rel_type",
+                      "head", "head_type", "tail", "tail_type",
+                      "properties", "chunks")
+
+
 def node_chunk_table(
     triples: DataFrame, graph: str = "default",
     workspace: str = "default", created_by: str = "default",

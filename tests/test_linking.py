@@ -242,6 +242,49 @@ def test_build_nodes_chunk_count_exact_under_cap(spark):
     assert uncapped["chunk_count"] == len(uncapped["chunks"]) == 10
 
 
+def test_incremental_upsert_equals_full_build(spark):
+    """S9 upsert law: merging two disjoint half-builds through
+    upsert_nodes/upsert_edges reproduces the full build EXACTLY (uncapped) —
+    the merge laws are associative, and the edge-chunk law recomputed
+    against the merged nodes equals the full-build intersection
+    (graph_service.py:524-604, 668-691 upsert semantics)."""
+    from knowledge_graph_studio_spark.operators.linking import (
+        upsert_edges, upsert_nodes,
+    )
+    from knowledge_graph_studio_spark.pipeline import triples_from_pages
+    from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+    tri = triples_from_pages(
+        spark, synthetic_pages(spark, 240, seed=5, partitions=8)).persist()
+    halves = [tri.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
+              for i in (0, 1)]
+    parts = []
+    for h in halves:
+        n = build_nodes(h, graph="g")
+        parts.append((n, build_edges(h, n, graph="g")))
+    up_nodes = upsert_nodes(parts[0][0], parts[1][0])
+    up_edges = upsert_edges(parts[0][1], parts[1][1], up_nodes)
+
+    full_n = build_nodes(tri, graph="g")
+    full_e = build_edges(tri, full_n, graph="g")
+
+    def node_key(r):
+        return (r["node_id"], r["name"], r["type"], tuple(r["chunks"]),
+                r["mention_count"], r["chunk_count"],
+                tuple(sorted((k, tuple(v)) for k, v in r["properties"].items())))
+
+    def edge_key(r):
+        return (r["edge_id"], r["head"], r["rel_type"], r["tail"],
+                tuple(r["chunks"]),
+                tuple(sorted((k, tuple(v)) for k, v in r["properties"].items())))
+
+    assert ({node_key(r) for r in up_nodes.collect()}
+            == {node_key(r) for r in full_n.collect()})
+    assert ({edge_key(r) for r in up_edges.collect()}
+            == {edge_key(r) for r in full_e.collect()})
+    tri.unpersist()
+
+
 def test_node_chunk_table_exact_uncapped(spark):
     from knowledge_graph_studio_spark.operators.linking import node_chunk_table
 

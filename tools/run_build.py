@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--synthesize", type=int, default=0,
                     help="generate N synthetic pages into --workdir/pages first")
+    ap.add_argument("--workspace", default="default",
+                    help="tenant workspace the build runs in")
+    ap.add_argument("--created-by", default="default",
+                    help="tenant user the build runs as")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,12 +63,16 @@ def main() -> None:
 
     t0 = time.time()
     out = build_graph_resumable(
-        spark, pages_path, args.workdir, n_buckets=args.buckets)
+        spark, pages_path, args.workdir, n_buckets=args.buckets,
+        workspace=args.workspace, created_by=args.created_by)
+    from knowledge_graph_studio_spark.io.catalog import GraphStatus
+
     print(json.dumps({
         "nodes": out["nodes"].count(),
         "edges": out["edges"].count(),
         "wall_sec": round(time.time() - t0, 2),
         "workdir": args.workdir,
+        "status": GraphStatus(args.workdir).get("default"),
     }))
 
 
