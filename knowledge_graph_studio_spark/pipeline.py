@@ -27,7 +27,7 @@ from .io.catalog import GraphStatus, RunManifest, read_table
 from .operators.extraction import TRIPLES_SCHEMA, pages_to_triples
 from .operators.linking import (
     apply_canonical_mapping, apply_merge_rules, build_edges, build_nodes,
-    canonical_mapping, rules_to_alias_df,
+    canonical_mapping, rules_to_alias_df, upsert_edges, upsert_nodes,
 )
 from .schema_model import default_gazetteer, default_rules, default_schema
 
@@ -164,4 +164,134 @@ def build_graph_resumable(
         "mapping": mapping,
         "nodes": read_table(spark, f"{workdir}/nodes"),
         "edges": read_table(spark, f"{workdir}/edges"),
+    }
+
+
+def _committed_versions(manifest: RunManifest) -> list[dict]:
+    return sorted(
+        (r for r in manifest.records()
+         if r["stage"] == "table_version" and r["status"] == "committed"),
+        key=lambda r: r["partition_id"],
+    )
+
+
+def current_tables(spark: SparkSession, workdir: str) -> dict | None:
+    """Latest committed versioned node/edge tables written by
+    update_graph_incremental (None before the first version commit)."""
+    vs = _committed_versions(RunManifest(workdir))
+    if not vs:
+        return None
+    k = vs[-1]["partition_id"]
+    return {
+        "version": k,
+        "segments": vs[-1]["segments"],
+        "nodes": read_table(spark, f"{workdir}/nodes_v{k}"),
+        "edges": read_table(spark, f"{workdir}/edges_v{k}"),
+    }
+
+
+def update_graph_incremental(
+    spark: SparkSession,
+    pages_path: str,
+    workdir: str,
+    graph: str = "default",
+    schema=None,
+    gazetteer=None,
+    rules=None,
+    workspace: str = "default",
+    created_by: str = "default",
+) -> dict:
+    """The reference's UPDATE path at scale: extract only NEW crawl segments,
+    build delta nodes/edges from just their triples, and UPSERT onto the last
+    committed tables (operators/linking.upsert_nodes/upsert_edges) — history
+    is never re-aggregated. Segments are the `segment=*` partitions of the
+    pages table (at 100 TB: the table format's partition listing); each is
+    extracted once, manifest-committed, and its chunk ids are disjoint from
+    every other segment's (chunk_id = url:start and a url lives in one
+    segment), so the upsert counters stay exact.
+
+    Canonicalization: L1 rules only (applied during extraction). Global
+    fuzzy re-clustering is deliberately NOT incremental — reference parity:
+    Entry B's build upserts extracted triples directly
+    (graph_service.py:524-710); fuzzy resolve is the separate interactive
+    endpoint (:2184-2345) to run offline over the full node table.
+
+    Atomicity: tables are written to fresh nodes_v{k}/edges_v{k} dirs and the
+    version record (stage `table_version`, carrying the included segment
+    list) is published atomically AFTER both writes; a crash in between
+    orphans the dirs and the rerun recomputes the same delta against the
+    same base — deterministic, so reruns converge.
+    """
+    import os
+
+    schema, gazetteer, alias_df = _config(spark, schema, gazetteer, rules)
+    manifest = RunManifest(workdir)
+    status = GraphStatus(workdir)
+    prior = status.get(graph)
+    status.set(graph, "updating" if prior and prior["status"] == "ready"
+               else "creating")
+    try:
+        segments = sorted(
+            d.split("=", 1)[1] for d in os.listdir(pages_path)
+            if d.startswith("segment="))
+        done = {r["segment"] for r in manifest.records()
+                if r["stage"] == "seg_extract" and r["status"] == "committed"}
+        for s in segments:
+            if s in done:
+                continue
+            t0 = time.time()
+            part = spark.read.parquet(f"{pages_path}/segment={s}")
+            triples_s = triples_from_pages(spark, part, schema, gazetteer,
+                                           rules)
+            out = f"{workdir}/triples/segment={s}"
+            triples_s.write.mode("overwrite").parquet(out)
+            n = spark.read.parquet(out).count()
+            # deterministic manifest id per segment (Python hash() is
+            # process-randomized and would mint duplicate records on resume)
+            import zlib
+
+            manifest.commit("seg_extract", zlib.crc32(s.encode()), t0,
+                            segment=s, triples_emitted=n)
+
+        extracted = sorted(
+            r["segment"] for r in manifest.records()
+            if r["stage"] == "seg_extract" and r["status"] == "committed")
+        prev = current_tables(spark, workdir)
+        included = set(prev["segments"]) if prev else set()
+        new_segs = [s for s in extracted if s not in included]
+        if not new_segs:
+            status.set(graph, "ready")
+            return prev
+
+        delta = spark.read.schema(TRIPLES_SCHEMA).parquet(
+            *[f"{workdir}/triples/segment={s}" for s in new_segs]
+        ).select([f.name for f in TRIPLES_SCHEMA.fields])
+        d_nodes = build_nodes(delta, graph=graph, workspace=workspace,
+                              created_by=created_by).persist()
+        d_edges = build_edges(delta, d_nodes, graph=graph,
+                              workspace=workspace, created_by=created_by)
+        if prev is None:
+            nodes, edges = d_nodes, d_edges
+        else:
+            nodes = upsert_nodes(prev["nodes"], d_nodes).persist()
+            edges = upsert_edges(prev["edges"], d_edges, nodes)
+
+        k = (prev["version"] + 1) if prev else 0
+        t0 = time.time()
+        nodes.write.mode("overwrite").parquet(f"{workdir}/nodes_v{k}")
+        edges.write.mode("overwrite").parquet(f"{workdir}/edges_v{k}")
+        n_nodes = read_table(spark, f"{workdir}/nodes_v{k}").count()
+        n_edges = read_table(spark, f"{workdir}/edges_v{k}").count()
+        manifest.commit("table_version", k, t0,
+                        segments=sorted(included | set(new_segs)),
+                        nodes=n_nodes, edges=n_edges)
+    except Exception as exc:
+        status.set(graph, "failed", errors=[f"{type(exc).__name__}: {exc}"])
+        raise
+    status.set(graph, "ready", nodes=n_nodes, edges=n_edges)
+    return {
+        "version": k,
+        "segments": sorted(included | set(new_segs)),
+        "nodes": read_table(spark, f"{workdir}/nodes_v{k}"),
+        "edges": read_table(spark, f"{workdir}/edges_v{k}"),
     }

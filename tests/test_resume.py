@@ -44,3 +44,54 @@ def test_resume_from_last_committed_partition(spark, tmp_path):
         _table_fingerprint(ref["edges"], ["head", "rel_type", "tail"])
     # per-partition lineage metrics recorded
     assert all("triples_emitted" in r for r in recs)
+
+
+def test_incremental_update_equals_full_rebuild(spark, tmp_path):
+    """update_graph_incremental: segment-at-a-time upsert converges to the
+    same tables a full (rules-only) rebuild over all pages produces, new
+    segments bump the version, and a no-op rerun returns the same version."""
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_studio_spark.pipeline import (
+        build_graph, current_tables, update_graph_incremental,
+    )
+
+    pages = synthetic_pages(spark, 160, seed=5, partitions=4).withColumn(
+        "segment", F.when(F.pmod(F.xxhash64("url"), F.lit(2)) == 0,
+                          "s0").otherwise("s1"))
+    src = str(tmp_path / "pages")
+    pages.write.partitionBy("segment").parquet(src)
+    wd = str(tmp_path / "wd")
+
+    # hide s1: first update sees only segment s0
+    import os
+    os.rename(f"{src}/segment=s1", f"{src}/.hold_s1")
+    v0 = update_graph_incremental(spark, src, wd)
+    assert v0["version"] == 0 and v0["segments"] == ["s0"]
+
+    # s1 arrives: delta extract + upsert -> v1
+    os.rename(f"{src}/.hold_s1", f"{src}/segment=s1")
+    v1 = update_graph_incremental(spark, src, wd)
+    assert v1["version"] == 1 and v1["segments"] == ["s0", "s1"]
+
+    # converged tables == full rules-only rebuild over all pages
+    full = build_graph(spark, spark.read.parquet(src).drop("segment"),
+                       fuzzy=False)
+
+    def node_key(r):
+        return (r["node_id"], r["name"], r["type"], tuple(r["chunks"]),
+                r["mention_count"], r["chunk_count"])
+
+    def edge_key(r):
+        return (r["edge_id"], r["head"], r["rel_type"], r["tail"],
+                tuple(r["chunks"]))
+
+    assert ({node_key(r) for r in v1["nodes"].collect()}
+            == {node_key(r) for r in full["nodes"].collect()})
+    assert ({edge_key(r) for r in v1["edges"].collect()}
+            == {edge_key(r) for r in full["edges"].collect()})
+
+    # no new segments -> same version back, still ready
+    again = update_graph_incremental(spark, src, wd)
+    assert again["version"] == 1
+    assert current_tables(spark, wd)["version"] == 1
