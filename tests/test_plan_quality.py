@@ -88,6 +88,20 @@ def test_scope_filter_prunes_tenant_partitions(spark, tmp_path):
         "workspace equality must prune partitions, not filter post-scan"
 
 
+def test_shingle_cap_is_broadcast_anti_join_no_cartesian(spark, sf_dir):
+    """The hot-shingle cap must be a broadcast LEFT ANTI join (only the tiny
+    hot-shingle set moves) and the inverted-index self-join must never fall
+    back to a cartesian/nested-loop."""
+    from knowledge_graph_studio_spark.driver_contract import (
+        q_dedup_ngram_jaccard,
+    )
+
+    plan = _plan(q_dedup_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
 def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     from knowledge_graph_studio_spark.driver_contract import q_pricing_summary
 
