@@ -355,10 +355,21 @@ def q_dedup_ngram_jaccard(spark, sf):
     # cheaper key compare/serialize in the self-join. Collision risk for m
     # distinct shingles is ~m^2/2^65 (~1e-7 at 10^6 shingles) — the oracle
     # compare would catch one, and none has ever bound.
-    sh = (
-        cap_shingle_df(_shingles(d).persist(), max_df=1000)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .persist()
+    # Hash BEFORE the cap (the df count per 64-bit hash equals the count per
+    # shingle string modulo ~2^-65 collisions) so the checkpointed blocks and
+    # every downstream join key are longs, then localCheckpoint ONCE, pre-cap:
+    #  * compute-once for the three downstream uses without a CacheManager
+    #    entry to leak in a long-lived session (blocks are GC-reclaimed;
+    #    cache-manager-clean asserted in tests/test_plan_quality.py);
+    #  * the cap's broadcast LEFT ANTI join stays ABOVE the checkpoint, so
+    #    the no-cartesian plan gate still sees it (its broadcast subtree is
+    #    deduped across the three uses by ReuseExchange).
+    # On a real cluster an explicit intermediate table is the durable
+    # equivalent (localCheckpoint doesn't survive executor loss).
+    sh = cap_shingle_df(
+        _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False),
+        max_df=1000,
     )
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

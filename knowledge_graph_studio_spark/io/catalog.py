@@ -75,6 +75,42 @@ class RunManifest:
                     out.append(json.load(fh))
         return out
 
+    def prune(self, before_ts: float | None = None,
+              max_records: int | None = None) -> int:
+        """Retention for manifest records — the reference TTLs its task
+        collection at 86400 s (cli/collection_index_config.json:156-168);
+        without this the manifest grows one file per (stage, partition)
+        forever. Deletes records committed before `before_ts` and/or beyond
+        the newest `max_records`, but NEVER records of this manifest's own
+        run_id: a live run's committed-set must survive pruning so resume
+        stays exact (tests/test_resume.py). Returns #deleted."""
+        cand = []  # (committed_at, path) of prunable records
+        for f in os.listdir(self.dir):
+            if not f.endswith(".json"):
+                continue
+            p = os.path.join(self.dir, f)
+            with open(p) as fh:
+                rec = json.load(fh)
+            if rec.get("run_id") == self.run_id:
+                continue  # live run: resume set is sacred
+            cand.append((rec.get("committed_at", 0.0), p))
+        cand.sort()  # oldest first
+        doomed: list[str] = []
+        if before_ts is not None:
+            doomed.extend(p for ts, p in cand if ts < before_ts)
+        if max_records is not None and len(cand) > max_records:
+            keep_cut = len(cand) - max_records
+            doomed.extend(p for _, p in cand[:keep_cut])
+        deleted = 0
+        for p in set(doomed):
+            os.remove(p)
+            deleted += 1
+        # sweep orphaned .tmp files from crashed writers while we're here
+        for f in os.listdir(self.dir):
+            if f.endswith(".tmp"):
+                os.remove(os.path.join(self.dir, f))
+        return deleted
+
 
 class GraphStatus:
     """Graph lifecycle row — the reference tracks creating/updating/ready/
@@ -128,7 +164,14 @@ class QueryLog:
     def __init__(self, workdir: str):
         self.dir = os.path.join(workdir, "_queries")
         os.makedirs(self.dir, exist_ok=True)
-        self._n = len(os.listdir(self.dir))
+        # Next id = max existing committed id + 1: counting files would
+        # double-count leftover .tmp from a crashed write and collide after
+        # a prune() compacts the directory.
+        self._n = 1 + max(
+            (int(f[1:-5]) for f in os.listdir(self.dir)
+             if f.endswith(".json") and f[0] == "q" and f[1:-5].isdigit()),
+            default=-1,
+        )
 
     def _path(self, query_id: str) -> str:
         return os.path.join(self.dir, f"{query_id}.json")
@@ -169,7 +212,46 @@ class QueryLog:
         self._write(rec)
 
     def df(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(self.SCHEMA).json(self.dir)
+        # Committed records only — reading the whole dir would ingest partial
+        # .tmp files from a crashed writer as corrupt/duplicate rows.
+        files = sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir) if f.endswith(".json")
+        )
+        if not files:
+            return spark.createDataFrame([], self.SCHEMA)
+        return spark.read.schema(self.SCHEMA).json(files)
+
+    def prune(self, before_ts: float | None = None,
+              max_records: int | None = None) -> int:
+        """Retention for the query log (same TTL rationale as
+        RunManifest.prune). Only finished records (status != pending) are
+        eligible; keeps the newest `max_records` of those and/or drops ones
+        created before `before_ts`. Returns #deleted."""
+        cand = []
+        for f in os.listdir(self.dir):
+            p = os.path.join(self.dir, f)
+            if f.endswith(".tmp"):
+                os.remove(p)
+                continue
+            if not f.endswith(".json"):
+                continue
+            with open(p) as fh:
+                rec = json.load(fh)
+            if rec.get("status") == "pending":
+                continue  # in-flight query: finish()/fail() still needs it
+            cand.append((rec.get("created_at", 0.0), p))
+        cand.sort()
+        doomed: list[str] = []
+        if before_ts is not None:
+            doomed.extend(p for ts, p in cand if ts < before_ts)
+        if max_records is not None and len(cand) > max_records:
+            doomed.extend(p for _, p in cand[: len(cand) - max_records])
+        deleted = 0
+        for p in set(doomed):
+            os.remove(p)
+            deleted += 1
+        return deleted
 
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -181,13 +181,17 @@ def minhash_neardup_pairs(
     silent); sizes are computed over the capped shingle universe so Jaccard
     stays consistent."""
     cands = minhash_lsh_candidates(df, **kw)
-    sh = token_shingles(df, kw.get("id_col", "doc_id"), kw.get("text_col", "text"),
-                        k=kw.get("shingle_k", 3)).persist()
+    # 64-bit hash key first (cheaper join compare, collision odds ~m^2/2^65),
+    # then localCheckpoint ONCE pre-cap: compute-once without a CacheManager
+    # leak (see driver_contract.q_dedup_ngram_jaccard).
+    sh = (
+        token_shingles(df, kw.get("id_col", "doc_id"),
+                       kw.get("text_col", "text"), k=kw.get("shingle_k", 3))
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .localCheckpoint(eager=False)
+    )
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
-    # 64-bit hash join key (cheaper than string equality; collision odds
-    # ~m^2/2^65 — see driver_contract.q_dedup_ngram_jaccard)
-    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "shingle")
     b = sh.select(F.col("doc_id").alias("db"), "shingle")

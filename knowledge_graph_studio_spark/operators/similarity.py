@@ -64,8 +64,14 @@ _PAIR_SCHEMA = T.StructType([T.StructField("va", T.LongType()),
 
 
 def _ids_mat(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Extract (ids, row-normalized float64 matrix) from a pandas group."""
+    """Extract (ids, row-normalized float64 matrix) from a pandas group.
+
+    Empty slices are legal: a block pair (i, j) materializes whenever EITHER
+    block has rows, so the other side can be zero rows (e.g. N < n_blocks).
+    Return a (0, 0) matrix and let _gemm_pairs' len==0 fast path no-op."""
     ids = pdf["_id"].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0), dtype=np.float64)
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     return ids, mat
@@ -284,16 +290,28 @@ def ivf_assign(
 
 
 def ivf_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
-                  seed: int = 7) -> "np.ndarray":
+                  seed: int = 7, id_col: str = "vec_id") -> "np.ndarray":
     """Seeded-sample centroids (k-means|| would refine these on a real run;
     random sample is the standard cheap initialization and is adequate for
-    coarse IVF cells)."""
-    rows = (
-        df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(k).collect()
+    coarse IVF cells).
+
+    Two-phase so the sampling scan never touches the embedding column:
+    phase 1 TakeOrders k winners by xxhash64(id) reading ONLY the id column
+    (parquet column pruning — a long per row, not a 64-dim array cast to
+    string as before); phase 2 fetches just those k embeddings via a
+    broadcast semi-join."""
+    winners = (
+        df.select(F.col(id_col).cast("long").alias("_cid"))
+        .orderBy(F.xxhash64(F.col("_cid"), F.lit(seed)))
+        .limit(k)
     )
-    return np.array([r[0] for r in rows], dtype=np.float64)
+    rows = (
+        df.select(F.col(id_col).cast("long").alias("_cid"), F.col(vec_col))
+        .join(F.broadcast(winners), "_cid")
+        .orderBy("_cid")
+        .collect()
+    )
+    return np.array([r[1] for r in rows], dtype=np.float64)
 
 
 def ann_ivf_topk(
@@ -312,7 +330,7 @@ def ann_ivf_topk(
     exactly. The 100 TB shape: cells partition the corpus, queries broadcast,
     per-cell candidate lists bound the exact-scoring work (same role as the
     reference's numCandidates knob, crud/chunks.py:96)."""
-    cent = ivf_centroids(vectors, n_cells, vec_col, seed)
+    cent = ivf_centroids(vectors, n_cells, vec_col, seed, id_col=id_col)
     v_cells = ivf_assign(vectors, cent, vec_col, id_col, n_probe=1)
     q_cells = ivf_assign(
         queries.select(F.col(qid_col).alias("vec_id"), F.col(vec_col)),

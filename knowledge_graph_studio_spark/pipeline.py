@@ -74,16 +74,21 @@ def build_graph(
     reference scopes every upsert by user+workspace, graph_service.py:557-563)
     — stamped on nodes/edges and folded into their identity hashes."""
     triples = triples_from_pages(spark, pages, schema, gazetteer, rules)
-    triples = triples.persist()  # consumed by CC + node agg + edge agg
+    # localCheckpoint (non-eager), not persist: same compute-once reuse for
+    # CC + node agg + edge agg, but no CacheManager entries left behind in a
+    # long-lived session after callers drop the returned frames.
+    triples = triples.localCheckpoint(eager=False)
     if fuzzy:
-        mapping = canonical_mapping(triples, alias_df=None, fuzzy=True).persist()
+        mapping = canonical_mapping(triples, alias_df=None,
+                                    fuzzy=True).localCheckpoint(eager=False)
         canon = apply_canonical_mapping(triples, mapping)
     else:
         mapping = None
         canon = triples
     nodes = build_nodes(canon, graph=graph, max_chunks=max_chunks,
                         max_prop_vals=max_prop_vals,
-                        workspace=workspace, created_by=created_by).persist()
+                        workspace=workspace,
+                        created_by=created_by).localCheckpoint(eager=False)
     edges = build_edges(canon, nodes, graph=graph, max_chunks=max_chunks,
                         max_prop_vals=max_prop_vals,
                         workspace=workspace, created_by=created_by)
@@ -141,9 +146,10 @@ def build_graph_resumable(
         triples = (
             spark.read.schema(TRIPLES_SCHEMA).parquet(f"{workdir}/triples")
             .select([f.name for f in TRIPLES_SCHEMA.fields])  # drop bucket col
-            .persist()
+            .localCheckpoint(eager=False)
         )
-        mapping = canonical_mapping(triples, alias_df=None, fuzzy=True).persist()
+        mapping = canonical_mapping(triples, alias_df=None,
+                                    fuzzy=True).localCheckpoint(eager=False)
         canon = apply_canonical_mapping(triples, mapping)
         nodes = build_nodes(canon, graph=graph, workspace=workspace,
                             created_by=created_by).persist()
@@ -152,6 +158,7 @@ def build_graph_resumable(
         t0 = time.time()
         nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
         edges.write.mode("overwrite").parquet(f"{workdir}/edges")
+        nodes.unpersist()  # both consumers (edge build + write) are done
         n_nodes = read_table(spark, f"{workdir}/nodes").count()
         n_edges = read_table(spark, f"{workdir}/edges").count()
         manifest.commit("materialize", 0, t0, nodes=n_nodes, edges=n_edges)
@@ -280,6 +287,9 @@ def update_graph_incremental(
         t0 = time.time()
         nodes.write.mode("overwrite").parquet(f"{workdir}/nodes_v{k}")
         edges.write.mode("overwrite").parquet(f"{workdir}/edges_v{k}")
+        d_nodes.unpersist()
+        if nodes is not d_nodes:
+            nodes.unpersist()
         n_nodes = read_table(spark, f"{workdir}/nodes_v{k}").count()
         n_edges = read_table(spark, f"{workdir}/edges_v{k}").count()
         manifest.commit("table_version", k, t0,

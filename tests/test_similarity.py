@@ -53,9 +53,30 @@ def test_cosine_allpairs_matches_sql_fold(spark, emb):
     assert gemm == sql
 
 
+def test_cosine_allpairs_empty_blocks(spark, emb):
+    """N < n_blocks guarantees some hash blocks are empty, so pair groups
+    form with a zero-row side — must no-op, not crash (_ids_mat guard)."""
+    sub = emb.filter("vec_id < 5")  # 5 vectors, default n_blocks=8
+    got = {(r["va"], r["vb"]) for r in cosine_allpairs(sub, 0.2).collect()}
+    a = sub.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = sub.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    sql = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("va") < F.col("vb"))
+        .filter(cosine_col(F.col("ea"), F.col("eb")) >= 0.2)
+        .select("va", "vb").collect()
+    }
+    assert got == sql
+    # n_blocks far above the row count: every pair group has <= 1 populated side
+    got64 = {(r["va"], r["vb"])
+             for r in cosine_allpairs(sub, 0.2, n_blocks=64).collect()}
+    assert got64 == sql
+
+
 def test_cosine_allpairs_block_count_invariance(spark, emb):
     """Exactness must not depend on the block decomposition (1 block =
-    single-group degenerate case; 16 blocks > groups with one side empty)."""
+    single-group degenerate case; all 16 blocks happen to be populated for
+    this fixture — the empty-side case is covered above)."""
     sub = emb.filter("vec_id < 80")
     base_rows = [(r["va"], r["vb"]) for r in cosine_allpairs(sub, 0.35).collect()]
     assert len(base_rows) == len(set(base_rows)), "duplicate pairs emitted"
