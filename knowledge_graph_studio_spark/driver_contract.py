@@ -539,6 +539,33 @@ def q_kg_query_structured(spark, sf):  # rows-only
         F.col("tail_node.name").alias("tail"),
     )
 
+def q_kg_query_text(spark, sf):  # rows-only
+    """Entry C TEXT query end-to-end through the ANN planner (VERDICT r2 #1):
+    build the graph, embed edges (V2), build the precomputed LSH index
+    (plans/query.EdgeAnnIndex), and run query_graph with ann_exact_max_rows=0
+    so the indexed path — probe keys computed driver-side, bounded candidate
+    set, exact scoring of candidates only — is what executes. Deterministic:
+    seeded planes, id-ordered candidate cap, exact final scoring."""
+    from .functions.embeddings import embed_edges
+    from .pipeline import build_graph
+    from .plans.query import EdgeAnnIndex, QueryParameters, query_graph
+    from .sources.pages import synthetic_pages
+
+    out = build_graph(spark, synthetic_pages(spark, 200, seed=42), fuzzy=False)
+    emb = embed_edges(out["edges"]).localCheckpoint(eager=False)
+    idx = EdgeAnnIndex.build(emb, n_planes=4, n_tables=24)
+    res = query_graph(
+        out["nodes"], out["edges"],
+        QueryParameters(content="who runs Globex?", relations=["runs"],
+                        limit=16),
+        edges_embedded=emb, ann_index=idx, ann_exact_max_rows=0)
+    return res["triples"].select(
+        F.col("head_node.name").alias("head"),
+        F.col("relation.name").alias("relation"),
+        F.col("tail_node.name").alias("tail"),
+    )
+
+
 def q_kg_pipeline_nodes(spark, sf):  # rows-only
     """Flagship KG construction over the deterministic synthetic crawl
     (pages table per BASELINE.json input_hint) — nodes output."""
@@ -694,6 +721,7 @@ QUERIES: dict[str, _T] = {
     "kg_verbalize": q_kg_verbalize,
     "kg_triple_topk": q_kg_triple_topk,
     "kg_query_structured": q_kg_query_structured,
+    "kg_query_text": q_kg_query_text,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "minhash_lsh": q_minhash_lsh,

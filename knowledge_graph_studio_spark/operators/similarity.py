@@ -203,14 +203,34 @@ def cosine_neardup_lsh(
     return pairs.distinct()
 
 
+def _lsh_planes(dim: int, n_planes: int, n_tables: int,
+                seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The shared random-hyperplane family: (planes[n_tables, n_planes, dim],
+    powers[n_planes]). One definition so the distributed bucketer and the
+    driver-side single-query prober can never drift apart (parity asserted in
+    tests/test_similarity.py)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_planes, dim).astype(np.float64)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    return planes, powers
+
+
+def lsh_query_keys(vec, n_planes: int, n_tables: int,
+                   seed: int = 7) -> list[tuple[int, int]]:
+    """(table_id, bucket) keys for ONE query vector, computed driver-side
+    with no Spark job — probing a precomputed LSH index must cost a literal
+    IN filter, not a scan (plans/query.EdgeAnnIndex)."""
+    v = np.asarray(vec, dtype=np.float64)
+    planes, powers = _lsh_planes(len(v), n_planes, n_tables, seed)
+    return [(t, int(((planes[t] @ v) > 0).astype(np.int64) @ powers))
+            for t in range(n_tables)]
+
+
 def _projection_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     """Returns a mapInPandas fn adding LSH bucket keys per table."""
-    out_schema = None  # filled by caller
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(n_tables, n_planes, dim).astype(np.float64)
-        powers = (1 << np.arange(n_planes)).astype(np.int64)
+        planes, powers = _lsh_planes(dim, n_planes, n_tables, seed)
         for pdf in batches:
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
             keys = []

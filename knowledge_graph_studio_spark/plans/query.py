@@ -173,6 +173,121 @@ def similarity_search(
 
 
 # --------------------------------------------------------------------------- #
+# Q9 at scale — precomputed LSH index over the edge embeddings
+# --------------------------------------------------------------------------- #
+
+# Edge-table row count below which the planner prefers the exact scan even
+# when an index is available: one codegen'd pass over a table this small is
+# cheaper than the probe-join round trip, and exact >= ANN for recall. Above
+# it, a per-query full scan of the embedding column is the reference's own
+# anti-pattern — Atlas uses an ANN index with numCandidates=64
+# (config.py:143-149) — so the planner switches to the index.
+ANN_EXACT_MAX_ROWS = 65_536
+
+# numCandidates analog: bound on how many index hits get exact-scored per
+# query (config.py:145 triple_vector_search_num_candidates scaled up — we
+# score candidates exactly, so a larger pool only costs the bounded join).
+ANN_MAX_CANDIDATES = 4_096
+
+_TB_SHIFT = 32  # tb_key = table_id << 32 | bucket (bucket < 2^n_planes)
+
+
+class EdgeAnnIndex:
+    """Precomputed random-hyperplane LSH index over an edge-embedding table
+    (V2), the 100 TB text-query path for Entry C.
+
+    Built ONCE per graph version with a single scan (`build`, optionally
+    persisted to parquet with `save`/`load`); each text query then probes its
+    n_tables (table_id, bucket) keys — computed driver-side, no job — as a
+    literal IN filter on the index's packed `tb_key` column, which parquet
+    pushes down (PushedFilters: In(tb_key, ...), asserted in
+    tests/test_query_plan.py). Candidate edge ids come back bounded by
+    ANN_MAX_CANDIDATES and only those rows get exact cosine scoring: the
+    per-query plan never evaluates the embedding column over the full table.
+
+    Reference parity: the Atlas ANN index + numCandidates/limit knobs the
+    reference queries through (graph_service.py:1650-1779, config.py:143-149);
+    recall vs the exact scan is asserted through query_graph itself in
+    tests/test_query_plan.py."""
+
+    def __init__(self, index_df: DataFrame, n_rows: int, n_planes: int,
+                 n_tables: int, seed: int):
+        self.index_df = index_df  # (edge_id, tb_key)
+        self.n_rows = n_rows
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+
+    @classmethod
+    def build(cls, edges_embedded: DataFrame, n_planes: int = 4,
+              n_tables: int = 16, seed: int = 7) -> "EdgeAnnIndex":
+        from ..operators.similarity import lsh_bucket_keys
+
+        keyed = lsh_bucket_keys(edges_embedded, "embedding", "edge_id",
+                                n_planes, n_tables, seed)
+        idx = keyed.select(
+            "edge_id",
+            (F.shiftleft(F.col("table_id").cast("long"), _TB_SHIFT)
+             + F.col("bucket")).alias("tb_key"),
+        )
+        n_rows = edges_embedded.count()  # one job, amortized over the version
+        return cls(idx, n_rows, n_planes, n_tables, seed)
+
+    def save(self, path: str) -> None:
+        """Materialize so queries probe parquet (pushed IN filter) instead of
+        recomputing the bucketer; metadata rides in a sidecar row."""
+        self.index_df.write.mode("overwrite").parquet(path)
+        meta = self.index_df.sparkSession.createDataFrame(
+            [(self.n_rows, self.n_planes, self.n_tables, self.seed)],
+            "n_rows long, n_planes int, n_tables int, seed int")
+        meta.write.mode("overwrite").parquet(f"{path}_meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "EdgeAnnIndex":
+        m = spark.read.parquet(f"{path}_meta").collect()[0]
+        return cls(spark.read.parquet(path), m["n_rows"], m["n_planes"],
+                   m["n_tables"], m["seed"])
+
+    def candidate_ids(self, query_vec,
+                      max_candidates: int = ANN_MAX_CANDIDATES) -> list[int]:
+        """Driver-side bounded candidate fetch: n_tables literal keys ->
+        pushed IN filter -> distinct edge ids, capped deterministically (by
+        id) at max_candidates. The collect is bounded by the cap — the exact
+        analog of the reference pulling numCandidates ids from Atlas."""
+        from ..operators.similarity import lsh_query_keys
+
+        keys = [(t << _TB_SHIFT) | b for t, b in
+                lsh_query_keys(query_vec, self.n_planes, self.n_tables,
+                               self.seed)]
+        rows = (
+            self.index_df.filter(F.col("tb_key").isin(keys))
+            .select("edge_id").distinct()
+            .orderBy("edge_id").limit(max_candidates)
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+
+def similarity_search_indexed(
+    edges_with_embedding: DataFrame, query_text: str, index: EdgeAnnIndex,
+    k: int = 64, max_candidates: int = ANN_MAX_CANDIDATES,
+) -> DataFrame:
+    """ANN variant of similarity_search: probe the precomputed index for a
+    bounded candidate id set, then exact-score ONLY those rows (the id filter
+    is a literal IN that parquet pushes down — the embedding column is never
+    evaluated over the full table). Same output contract as
+    similarity_search."""
+    qv = [float(x) for x in embed_text(query_text, TRIPLE_DIM)]
+    cand = index.candidate_ids(qv, max_candidates)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    scored = (
+        edges_with_embedding.filter(F.col("edge_id").isin(cand))
+        .withColumn("score", cosine_col(F.col("embedding"), qcol))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("edge_id")).limit(k)
+
+
+# --------------------------------------------------------------------------- #
 # Q13 — deterministic relevance filter (LLM stand-in, same contract)
 # --------------------------------------------------------------------------- #
 
@@ -363,6 +478,8 @@ def query_graph(
     params: QueryParameters,
     edges_embedded: DataFrame | None = None,
     log=None,
+    ann_index: EdgeAnnIndex | None = None,
+    ann_exact_max_rows: int = ANN_EXACT_MAX_ROWS,
 ) -> dict:
     """MixedQueryProcessor.query (graph_service.py:1890-2071):
       1. structured prefilter (Q11)
@@ -378,14 +495,23 @@ def query_graph(
     ``log`` (io.catalog.QueryLog): when given, the query document is recorded
     BEFORE execution and the status/response/returned triple+node ids after,
     mirroring Entry C's persistence (graph_service.py:1938-1969, 2046-2054).
-    Recording ids forces the result (human-scale by contract)."""
+    Recording ids forces the result (human-scale by contract).
+
+    ``ann_index`` (EdgeAnnIndex): the planner knob for the text path. When
+    given AND the indexed table exceeds ``ann_exact_max_rows``, the vector
+    search probes the precomputed index (bounded candidates, no full
+    embedding scan); otherwise the exact scan runs (small tables: one
+    codegen'd pass beats the probe round trip, and exact >= ANN recall).
+    The size check is driver-side metadata recorded at index build time —
+    no extra job per query."""
     query_id = None
     if log is not None:
         query_id = log.start(params.graph or "default", params,
                              workspace=params.workspace or "default",
                              created_by=params.created_by or "default")
     try:
-        out = _query_graph(nodes, edges, params, edges_embedded)
+        out = _query_graph(nodes, edges, params, edges_embedded,
+                           ann_index, ann_exact_max_rows)
     except Exception as exc:
         if log is not None:
             log.fail(query_id, f"{type(exc).__name__}: {exc}")
@@ -400,7 +526,8 @@ def query_graph(
     return out
 
 
-def _query_graph(nodes, edges, params, edges_embedded):
+def _query_graph(nodes, edges, params, edges_embedded,
+                 ann_index=None, ann_exact_max_rows=ANN_EXACT_MAX_ROWS):
     nodes = scope_filter(nodes, params.graph, params.workspace,
                          params.created_by)
     edges = scope_filter(edges, params.graph, params.workspace,
@@ -422,7 +549,11 @@ def _query_graph(nodes, edges, params, edges_embedded):
             edges_embedded.select("edge_id", "verbalized", "embedding"),
             "edge_id", "inner")
 
-    top = similarity_search(emb, params.content, k=params.limit)
+    if ann_index is not None and ann_index.n_rows > ann_exact_max_rows:
+        top = similarity_search_indexed(emb, params.content, ann_index,
+                                        k=params.limit)
+    else:
+        top = similarity_search(emb, params.content, k=params.limit)
     relevant = relevance_filter(top, params.content)
     answer = None
     if params.return_answer:

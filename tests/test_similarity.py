@@ -120,6 +120,22 @@ def test_ann_lsh_recall(spark, emb):
             assert x["score"] >= y["score"]
 
 
+def test_lsh_query_keys_match_distributed_bucketer(spark, emb):
+    """The driver-side single-vector prober (lsh_query_keys) and the
+    distributed bucketer (lsh_bucket_keys) share one plane family — probing
+    a precomputed index must land in exactly the buckets the index holds."""
+    from knowledge_graph_studio_spark.operators.similarity import (
+        lsh_bucket_keys, lsh_query_keys,
+    )
+
+    one = emb.filter("vec_id = 3")
+    dist = {(r["table_id"], r["bucket"])
+            for r in lsh_bucket_keys(one, n_planes=4, n_tables=8,
+                                     seed=13).collect()}
+    vec = one.select("embedding").collect()[0][0]
+    assert set(lsh_query_keys(vec, n_planes=4, n_tables=8, seed=13)) == dist
+
+
 def test_ann_ivf_topk_recall(spark):
     from knowledge_graph_studio_spark.operators.similarity import (
         ann_ivf_topk, brute_force_topk,
