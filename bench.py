@@ -89,7 +89,15 @@ def main() -> None:
     # engine-only variant: pages pre-materialized to tmpfs, measured job is
     # scan -> extraction -> canonicalize -> merge (the scaling bench's
     # official `parquet` shape; generation excluded)
-    pages_path = f"/dev/shm/kg_bench_pages_n{n_pages}"
+    # cache key folds in a corpus-content version (seed + generator source
+    # hash) so a change to synthetic page generation invalidates the tmpfs
+    # cache instead of silently benchmarking stale data (ADVICE r2)
+    import hashlib
+
+    from knowledge_graph_studio_spark import corpus as _corpus
+    gen_ver = hashlib.md5(
+        open(_corpus.__file__, "rb").read()).hexdigest()[:10]
+    pages_path = f"/dev/shm/kg_bench_pages_n{n_pages}_s42_{gen_ver}"
     if not os.path.exists(f"{pages_path}/_SUCCESS"):
         synthetic_pages(spark, n_pages, seed=42, partitions=cores * 2) \
             .write.mode("overwrite").parquet(pages_path)

@@ -524,16 +524,35 @@ def q_kg_triple_topk(spark, sf):  # rows-only
     ).select("head", "tail")
 
 
-def q_kg_query_structured(spark, sf):  # rows-only
-    """Entry C structured query (Q11+Q12) over the synthetic-crawl graph."""
-    from .pipeline import build_graph
-    from .plans.query import QueryParameters, query_graph
-    from .sources.pages import synthetic_pages
+def q_kg_query_structured(spark, sf):
+    """Entry C structured query through the REAL plan operators (Q11
+    structured_filter: broadcast OR-semi-join prefilter; Q12 hydrate_triples:
+    nested head/relation/tail structs) — oracle-paired (VERDICT r2 #7): the
+    graph is the token-exact co-occurrence graph over `documents`, so DuckDB
+    reproduces the whole query as CTE + IN filters. The same operators over
+    the full synthetic-crawl pipeline stay covered by kg_query_text (rows-
+    only) and tests/test_query_plan.py."""
+    from .plans.query import hydrate_triples, structured_filter
 
-    out = build_graph(spark, synthetic_pages(spark, 200, seed=42), fuzzy=False)
-    res = query_graph(out["nodes"], out["edges"],
-                      QueryParameters(entities=["person"], relations=["runs"]))
-    return res["triples"].select(
+    t = q_kg_cooccurrence(spark, sf)
+    empty_props = F.from_json(F.lit("{}"), "map<string,array<string>>")
+    empty_chunks = F.array().cast("array<string>")
+    names = (t.select(F.col("head").alias("name"))
+             .union(t.select(F.col("tail").alias("name"))).distinct())
+    nodes = names.select(
+        F.xxhash64("name").alias("node_id"), "name",
+        F.lit("term").alias("type"),
+        empty_props.alias("properties"), empty_chunks.alias("chunks"))
+    edges = t.select(
+        F.xxhash64("head", "relation", "tail").alias("edge_id"),
+        F.xxhash64("head").alias("head_id"),
+        F.xxhash64("tail").alias("tail_id"),
+        "head", F.col("relation").alias("rel_type"), "tail",
+        empty_props.alias("properties"), empty_chunks.alias("chunks"))
+    filtered = structured_filter(nodes, edges, entities=["term"],
+                                 values=["spark", "customer"],
+                                 relations=["cooccurs_with"])
+    return hydrate_triples(filtered, nodes).select(
         F.col("head_node.name").alias("head"),
         F.col("relation.name").alias("relation"),
         F.col("tail_node.name").alias("tail"),
@@ -919,6 +938,9 @@ ORACLE_SQL: dict[str, str] = {
         select doc_id, term, cnt from mentions""",
     "kg_cooccurrence": _COOC_CTE + """
         select head, relation, tail, support from cooc""",
+    "kg_query_structured": _COOC_CTE + """
+        select head, relation, tail from cooc
+        where head in ('spark','customer') or tail in ('spark','customer')""",
     "kg_node_degree": _COOC_CTE + """
         , ends as (
           select head as name, support from cooc

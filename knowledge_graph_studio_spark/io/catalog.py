@@ -24,6 +24,7 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
 
@@ -145,6 +146,66 @@ class GraphStatus:
                 return json.load(fh)
         except FileNotFoundError:
             return None
+
+
+class DocumentLedger:
+    """Per-document ingest status for the file sources (S1-S4) — the
+    reference's document status machine uploaded/processing/processed/failed
+    (services/crud/document.py:270-360; schemas/documents.py status field)
+    that callers poll to see which uploads in a batch survived.
+
+    Spark-first shape: statuses are EVENT ROWS appended to a parquet ledger,
+    one write per transition BATCH (never per document — a million-file
+    ingest is 4 table writes, not 4M point updates); the current state is
+    the latest event per url. On a real deployment the same interface maps
+    onto `MERGE INTO` a table-format status table; event-sourcing keeps the
+    sandbox writer atomic (one directory per batch, published complete,
+    same discipline as RunManifest)."""
+
+    STATES = ("uploaded", "processing", "processed", "failed")
+
+    def __init__(self, spark: SparkSession, workdir: str):
+        self.spark = spark
+        self.dir = os.path.join(workdir, "_documents")
+        os.makedirs(self.dir, exist_ok=True)
+        seqs = [int(d.split("=", 1)[1]) for d in os.listdir(self.dir)
+                if d.startswith("batch=")]
+        self._seq = max(seqs, default=-1) + 1
+
+    def record(self, docs: DataFrame, status: str,
+               error_col: str | None = None) -> int:
+        """Append one transition batch: every row of ``docs`` (must carry
+        ``url``) moves to ``status``; ``error_col`` names the column holding
+        the failure reason for status='failed'. Returns the batch seq."""
+        assert status in self.STATES, status
+        err = (F.col(error_col) if error_col
+               else F.lit(None).cast("string")).alias("error")
+        out = docs.select(
+            "url", F.lit(status).alias("status"), err,
+            F.current_timestamp().alias("ts"),
+        )
+        seq = self._seq
+        out.write.mode("overwrite").parquet(f"{self.dir}/batch={seq}")
+        self._seq += 1
+        return seq
+
+    def events(self) -> DataFrame:
+        """Full transition history (url, status, error, ts, batch)."""
+        return self.spark.read.option("basePath", self.dir).parquet(
+            f"{self.dir}/batch=*")
+
+    def current(self) -> DataFrame:
+        """Latest status per url — what the reference's GET /documents
+        returns. Window over the batch seq (monotonic by construction)."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("url").orderBy(F.desc("batch"))
+        return (
+            self.events()
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("url", "status", "error", "ts")
+        )
 
 
 class QueryLog:

@@ -232,6 +232,8 @@ def _projection_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes, powers = _lsh_planes(dim, n_planes, n_tables, seed)
         for pdf in batches:
+            if len(pdf) == 0:  # zero-row Arrow batch: (0,)-shaped matmul fails
+                continue
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
             keys = []
             for t in range(n_tables):
@@ -294,6 +296,8 @@ def ivf_assign(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cent = b_cent.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ cent.T

