@@ -558,6 +558,31 @@ def q_kg_query_structured(spark, sf):
         F.col("tail_node.name").alias("tail"),
     )
 
+def q_kg_chapters(spark, sf):
+    """C5 chapter aggregator (utilities/processors.py:279-338) over a
+    deterministic 'book' derived from documents: 3 books (doc_id mod 3),
+    every 10th doc contributes a 'CHAPTER c<k>' header line, other docs are
+    content lines. The operator is the running-window header propagation in
+    operators/chunking.aggregate_chapters; DuckDB reproduces it with
+    last_value(... ignore nulls)."""
+    from .operators.chunking import aggregate_chapters
+
+    d = _read(spark, sf, "documents")
+    lines = d.select(
+        (F.col("doc_id") % 3).alias("book_id"),
+        F.col("doc_id").alias("line_no"),
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.lit("CHAPTER c"),
+                        (F.col("doc_id") / 10).cast("long").cast("string")))
+        .otherwise(F.col("text")).alias("line"),
+    )
+    return aggregate_chapters(lines).select(
+        "book_id", "chapter",
+        F.concat_ws("\n", "lines").alias("lines_joined"),
+        "n_lines", "first_line_no",
+    )
+
+
 def q_kg_query_text(spark, sf):  # rows-only
     """Entry C TEXT query end-to-end through the ANN planner (VERDICT r2 #1):
     build the graph, embed edges (V2), build the precomputed LSH index
@@ -741,6 +766,7 @@ QUERIES: dict[str, _T] = {
     "kg_triple_topk": q_kg_triple_topk,
     "kg_query_structured": q_kg_query_structured,
     "kg_query_text": q_kg_query_text,
+    "kg_chapters": q_kg_chapters,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "minhash_lsh": q_minhash_lsh,
@@ -941,6 +967,33 @@ ORACLE_SQL: dict[str, str] = {
     "kg_query_structured": _COOC_CTE + """
         select head, relation, tail from cooc
         where head in ('spark','customer') or tail in ('spark','customer')""",
+    "kg_chapters": r"""
+        with lines as (
+          select doc_id % 3 as book_id, doc_id as line_no,
+                 case when doc_id % 10 = 0
+                      then 'CHAPTER c' || cast(doc_id // 10 as varchar)
+                      else text end as line
+          from documents
+        ), marked as (
+          select book_id, line_no, line,
+                 regexp_extract(line, '(?i)^CHAPTER\s+(\w+)', 1) as hdr
+          from lines
+        ), assigned as (
+          select book_id, line_no, line, hdr,
+                 coalesce(
+                   last_value(case when hdr <> '' then 'CHAPTER ' || upper(hdr) end
+                              ignore nulls)
+                     over (partition by book_id order by line_no
+                           rows between unbounded preceding and current row),
+                   'PROLOGUE') as chapter
+          from marked
+        )
+        select book_id, chapter,
+               string_agg(line, chr(10) order by line_no) as lines_joined,
+               count(*) as n_lines,
+               min(line_no) as first_line_no
+        from assigned where hdr = ''
+        group by book_id, chapter""",
     "kg_node_degree": _COOC_CTE + """
         , ends as (
           select head as name, support from cooc

@@ -180,3 +180,67 @@ def rows_to_object_chunks(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.xxhash64(F.to_json(F.col("content_obj"))).cast("string"),
         ),
     )
+
+
+def aggregate_chapters(
+    lines: DataFrame,
+    book_col: str = "book_id",
+    line_no_col: str = "line_no",
+    line_col: str = "line",
+) -> DataFrame:
+    """C5 chapter aggregator (utilities/processors.py:279-338): aggregate
+    ordered book lines into chapters on ``CHAPTER <word>`` headers
+    (case-insensitive, matched at line start); lines before the first header
+    belong to PROLOGUE; the chapter key is ``CHAPTER <NAME-uppercased>`` and
+    repeated headers with the same name merge into one chapter; header lines
+    themselves are not chapter content.
+
+    Distributed shape: header detection is a regexp projection; chapter
+    assignment = last non-null header at-or-before each line (running
+    window over the book's line order — one shuffle on book_col, reused by
+    the final grouping since the keys nest); output one row per
+    (book, chapter) with the chapter's lines in order.
+
+    Returns (book_id, chapter, lines: array<string>, n_lines,
+    first_line_no)."""
+    from pyspark.sql.window import Window
+
+    hdr = F.regexp_extract(F.col(line_col), r"(?i)^CHAPTER\s+(\w+)\s*", 1)
+    w = (Window.partitionBy(book_col).orderBy(line_no_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    assigned = lines.select(
+        F.col(book_col).alias("book_id"),
+        F.col(line_no_col).alias("line_no"),
+        F.col(line_col).alias("line"),
+        hdr.alias("_hdr"),
+    ).withColumn(
+        "chapter",
+        F.coalesce(
+            F.last(F.when(F.col("_hdr") != "",
+                          F.concat(F.lit("CHAPTER "), F.upper("_hdr"))),
+                   ignorenulls=True).over(w),
+            F.lit("PROLOGUE"),
+        ),
+    )
+    return (
+        assigned.filter(F.col("_hdr") == "")  # headers are keys, not content
+        .groupBy("book_id", "chapter")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s["line"],
+            ).alias("lines"),
+            F.count("*").alias("n_lines"),
+            F.min("line_no").alias("first_line_no"),
+        )
+    )
+
+
+def chapter_counts(chapters: DataFrame) -> DataFrame:
+    """Companion to aggregate_chapters: per-book chapter count, excluding
+    PROLOGUE (processors.py:330-333 counts len(chapters) - 1)."""
+    return (
+        chapters.filter(F.col("chapter") != "PROLOGUE")
+        .groupBy("book_id")
+        .agg(F.count("*").alias("chapter_count"))
+    )

@@ -119,3 +119,40 @@ def test_chunk_text_byte_identical_per_url(spark):
         rebuilt = "".join(c["content"]
                           for c in sorted(cs, key=lambda c: c["start"]))
         assert rebuilt == full, f"byte-identical invariant broken for {url}"
+
+
+def test_aggregate_chapters_c5_semantics(spark):
+    """C5 (utilities/processors.py:279-338): PROLOGUE before the first
+    header, case-insensitive 'CHAPTER <word>' match at line start, chapter
+    key uppercased, duplicate chapter names merge (dict semantics), header
+    lines are keys not content, in-book line order preserved."""
+    from knowledge_graph_studio_spark.operators.chunking import (
+        aggregate_chapters, chapter_counts,
+    )
+
+    book = [
+        "intro line one",
+        "intro line two",
+        "CHAPTER One",
+        "first chapter text",
+        "chapter two  ",          # lowercase header still matches
+        "second chapter text",
+        "CHAPTER one",            # duplicate name -> merges into CHAPTER ONE
+        "more of chapter one",
+        "the chapter word mid-line does not match",
+    ]
+    lines = spark.createDataFrame(
+        [("b1", i, ln) for i, ln in enumerate(book)],
+        "book_id string, line_no long, line string")
+    got = {r["chapter"]: r for r in aggregate_chapters(lines).collect()}
+    assert got["PROLOGUE"]["lines"] == ["intro line one", "intro line two"]
+    # the duplicate 'CHAPTER one' header switches current_chapter BACK, so
+    # the trailing line merges into CHAPTER ONE (reference dict semantics)
+    assert got["CHAPTER ONE"]["lines"] == [
+        "first chapter text", "more of chapter one",
+        "the chapter word mid-line does not match"]
+    assert got["CHAPTER TWO"]["lines"] == ["second chapter text"]
+    assert set(got) == {"PROLOGUE", "CHAPTER ONE", "CHAPTER TWO"}
+    counts = {r["book_id"]: r["chapter_count"]
+              for r in chapter_counts(aggregate_chapters(lines)).collect()}
+    assert counts == {"b1": 2}  # PROLOGUE excluded (processors.py:330-333)
