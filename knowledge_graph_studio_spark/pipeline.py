@@ -207,6 +207,8 @@ def update_graph_incremental(
     rules=None,
     workspace: str = "default",
     created_by: str = "default",
+    max_chunks: int | None = None,
+    max_prop_vals: int | None = None,
 ) -> dict:
     """The reference's UPDATE path at scale: extract only NEW crawl segments,
     build delta nodes/edges from just their triples, and UPSERT onto the last
@@ -273,15 +275,25 @@ def update_graph_incremental(
         delta = spark.read.schema(TRIPLES_SCHEMA).parquet(
             *[f"{workdir}/triples/segment={s}" for s in new_segs]
         ).select([f.name for f in TRIPLES_SCHEMA.fields])
+        # ``max_chunks``/``max_prop_vals`` bound hot-entity provenance
+        # arrays (see build_nodes) — WITHOUT them the hot node's chunk set
+        # grows with HISTORY and every update pays O(history) to union and
+        # rewrite it, defeating the linear-in-delta claim (measured in
+        # tools/scaling_bench.py --worker-incremental).
         d_nodes = build_nodes(delta, graph=graph, workspace=workspace,
-                              created_by=created_by).persist()
+                              created_by=created_by, max_chunks=max_chunks,
+                              max_prop_vals=max_prop_vals).persist()
         d_edges = build_edges(delta, d_nodes, graph=graph,
-                              workspace=workspace, created_by=created_by)
+                              workspace=workspace, created_by=created_by,
+                              max_chunks=max_chunks,
+                              max_prop_vals=max_prop_vals)
         if prev is None:
             nodes, edges = d_nodes, d_edges
         else:
-            nodes = upsert_nodes(prev["nodes"], d_nodes).persist()
-            edges = upsert_edges(prev["edges"], d_edges, nodes)
+            nodes = upsert_nodes(prev["nodes"], d_nodes,
+                                 max_chunks=max_chunks).persist()
+            edges = upsert_edges(prev["edges"], d_edges, nodes,
+                                 max_chunks=max_chunks)
 
         k = (prev["version"] + 1) if prev else 0
         t0 = time.time()

@@ -257,18 +257,25 @@ def worker_incremental(cores: int, pages: int, delta_pages: int,
         spark.read.parquet(f"{src}/segment=s0").selectExpr(
             "sum(length(html))").collect()
 
+        # bounded provenance (max_chunks=2048) on BOTH paths — the bench's
+        # web-scale config (see worker()): uncapped, the hot entity's chunk
+        # array grows with HISTORY and the upsert pays O(history) to union
+        # and rewrite it, which is the exact failure mode the cap exists for
         wd = os.path.join(root, "wd")
         t0 = time.time()
-        v0 = update_graph_incremental(spark, src, wd)
+        v0 = update_graph_incremental(spark, src, wd,
+                                      max_chunks=2048, max_prop_vals=2048)
         t1 = time.time()
         os.rename(f"{root}/hold_s1", f"{src}/segment=s1")
-        v1 = update_graph_incremental(spark, src, wd)
+        v1 = update_graph_incremental(spark, src, wd,
+                                      max_chunks=2048, max_prop_vals=2048)
         t2 = time.time()
         # full-rebuild comparator: same semantics (rules-only), same output
         # obligations (both tables written + counted)
         allp = spark.read.parquet(src).select(
             "url", "warc_ts", "html", "text", "lang")
-        out = build_graph(spark, allp, fuzzy=False)
+        out = build_graph(spark, allp, fuzzy=False,
+                          max_chunks=2048, max_prop_vals=2048)
         out["nodes"].write.mode("overwrite").parquet(f"{root}/rb_nodes")
         out["edges"].write.mode("overwrite").parquet(f"{root}/rb_edges")
         t3 = time.time()
