@@ -266,8 +266,13 @@ def canonical_mapping(
     # re-scans the full triples table (a constant per-job tail that showed
     # up in the strong-scaling stage table, VERDICT r2 #2).
     names = (
-        triples.select(F.col("head").alias("name"), F.col("head_type").alias("type"))
-        .union(triples.select(F.col("tail").alias("name"), F.col("tail_type").alias("type")))
+        triples.select(F.explode(F.array(
+            F.struct(F.col("head").alias("name"),
+                     F.col("head_type").alias("type")),
+            F.struct(F.col("tail").alias("name"),
+                     F.col("tail_type").alias("type")),
+        )).alias("e"))
+        .select("e.name", "e.type")
         .groupBy("name", "type").agg(F.count("*").alias("freq"))
         .localCheckpoint(eager=False)
     )
@@ -460,6 +465,7 @@ def build_nodes(
     triples: DataFrame, graph: str = "default", salt: int | None = None,
     max_chunks: int | None = None, max_prop_vals: int | None = None,
     workspace: str = "default", created_by: str = "default",
+    share_scan: bool = False,
 ) -> DataFrame:
     """L2: endpoints -> deduped nodes with merged properties + chunk sets.
 
@@ -503,17 +509,31 @@ def build_nodes(
         return F.map_filter(col, lambda k, _v: k != "chunks")
 
     salt = _salt_count(triples, salt)
-    heads = triples.select(
-        F.col("head").alias("name"), F.col("head_type").alias("type"),
-        _no_chunks(F.col("head_properties")).alias("props"), F.col("chunk_id"),
+    # Endpoint expansion in ONE scan of the (usually recomputed-per-use
+    # canonicalized) triples: explode a 2-element struct array instead of
+    # union(heads, tails), which scans the input twice per consuming tree.
+    # ``share_scan=True`` additionally materializes the expanded frame once
+    # (non-eager localCheckpoint) for the chunks and props trees to share;
+    # measured on this box the re-scan is CHEAPER than the materialization
+    # (the expansion is a narrow codegen'd map over an already-cached input),
+    # so the default recomputes. The knob stays for cluster deployments where
+    # the upstream is an expensive uncached lineage.
+    raw = triples.select(
+        F.explode(F.array(
+            F.struct(F.col("head").alias("name"),
+                     F.col("head_type").alias("type"),
+                     _no_chunks(F.col("head_properties")).alias("props")),
+            F.struct(F.col("tail").alias("name"),
+                     F.col("tail_type").alias("type"),
+                     _no_chunks(F.col("tail_properties")).alias("props")),
+        )).alias("e"),
+        F.col("chunk_id"),
+    ).select(
+        "e.name", "e.type", "e.props", "chunk_id",
+        F.pmod(F.xxhash64("chunk_id"), F.lit(salt)).alias("salt"),
     )
-    tails = triples.select(
-        F.col("tail").alias("name"), F.col("tail_type").alias("type"),
-        _no_chunks(F.col("tail_properties")).alias("props"), F.col("chunk_id"),
-    )
-    raw = heads.union(tails).withColumn(
-        "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
-    )
+    if share_scan:
+        raw = raw.localCheckpoint(eager=False)
     partial = raw.groupBy("name", "type", "salt").agg(
         F.array_sort(F.collect_set("chunk_id")).alias("_cs"),
         F.count("*").alias("cnt"),

@@ -34,6 +34,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE active for plans that are persist()ed: without this a
+        # cached plan is compiled with AQE's runtime re-planning disabled
+        # (fixed shuffle partitioning, no broadcast demotion/promotion) —
+        # measured 2.5x slower on the node-materialization stage when the
+        # tiny result frame is cached for reuse.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
+        # collect_set/collect_list aggregations (the salted node/edge merge)
+        # run as ObjectHashAggregate, which silently degrades to SORT-based
+        # aggregation after 128 distinct keys per task (the conservative
+        # default) — i.e. a full sort of the 2x-triples endpoint stream.
+        # The salted merge bounds per-task hash-map entries to (entities
+        # present in the task) x salt with set buffers totalling at most the
+        # task's input size, so a much higher key threshold is safe and keeps
+        # the agg hash-based.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "65536")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
