@@ -465,6 +465,28 @@ def q_kg_cooccurrence(spark, sf):
     )
 
 
+def q_kg_connected_components(spark, sf):
+    """The north rule's connected-components dedup (iterative DataFrame
+    joins, linking.connected_components) oracle-paired: CC over each term's
+    single nearest co-occurrence partner (a sparse multi-component functional
+    graph — the full cooc graph is complete and would collapse to one
+    component). The DuckDB oracle computes the same min-label components via
+    a recursive-CTE transitive closure, so the distributed label-propagation
+    loop is value-checked end-to-end, not just law-tested in pytest."""
+    from .operators.linking import connected_components
+
+    t = q_kg_cooccurrence(spark, sf)
+    sym = t.select(F.col("head").alias("a"), F.col("tail").alias("b"),
+                   "support").union(
+        t.select(F.col("tail").alias("a"), F.col("head").alias("b"),
+                 "support"))
+    w = Window.partitionBy("a").orderBy("support", "b")
+    nearest = (sym.withColumn("rk", F.row_number().over(w))
+               .filter("rk = 1")
+               .select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return connected_components(nearest).select("member", "component")
+
+
 def q_kg_node_degree(spark, sf):
     """L2-analog node table over the co-occurrence graph: degree + support."""
     t = q_kg_cooccurrence(spark, sf)
@@ -761,6 +783,7 @@ QUERIES: dict[str, _T] = {
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_node_degree": q_kg_node_degree,
+    "kg_connected_components": q_kg_connected_components,
     "compress_triples": q_compress_triples,
     "kg_verbalize": q_kg_verbalize,
     "kg_triple_topk": q_kg_triple_topk,
@@ -1002,6 +1025,30 @@ ORACLE_SQL: dict[str, str] = {
         select name, count(*) as degree,
                cast(sum(support) as bigint) as support_sum
         from ends group by name""",
+    "kg_connected_components": _COOC_CTE + """
+        , sym as (
+          select head as a, tail as b, support from cooc
+          union all
+          select tail as a, head as b, support from cooc
+        ), nearest as (
+          select a, b from (
+            select a, b,
+                   row_number() over (partition by a order by support, b) as rk
+            from sym) t where rk = 1
+        ), e as (
+          select a as src, b as dst from nearest
+          union
+          select b as src, a as dst from nearest
+        ), reach as (
+          with recursive r(src, dst) as (
+            select src, src from e
+            union
+            select r.src, e.dst from r join e on r.dst = e.src
+          )
+          select * from r
+        )
+        select src as member, min(dst) as component
+        from reach group by src""",
     "compress_triples": _COOC_CTE + """
         select head, relation,
                string_agg(distinct tail, ',' order by tail) as tails,
