@@ -44,7 +44,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # non-numeric suffix, e.g. a gen_sf.py tiled dir (kg_sf_x16)
 
     from knowledge_graph_studio_spark.driver_contract import QUERIES
     from knowledge_graph_studio_spark.pipeline import build_graph
