@@ -1,0 +1,51 @@
+"""Non-vacuity guards for contract oracles (DuckDB-only, no Spark).
+
+A value-paired contract entry only proves something if its fixture data
+exercises the interesting structure. These tests pin that structure so a
+silent testdata regeneration can't hollow an entry out without failing CI.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings", "customer"):
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return c
+
+
+def test_kg_connected_components_oracle_is_multi_component(con):
+    """The nearest-cooc-partner graph must have >=2 components with >=2
+    members each — otherwise the CC entry degenerates to 'everything maps
+    to the global min' and stops discriminating a broken label loop."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    rows = con.execute(ORACLE_SQL["kg_connected_components"]).fetchall()
+    assert rows, "CC oracle returned no members"
+    comps = {}
+    for member, component in rows:
+        comps.setdefault(component, []).append(member)
+    multi = [c for c, ms in comps.items() if len(ms) >= 2]
+    assert len(comps) >= 2, f"degenerate: single component {comps}"
+    assert len(multi) >= 2, f"need >=2 non-trivial components, got {comps}"
+    # min-label law: every component label is its own lexicographic minimum
+    for c, ms in comps.items():
+        assert c == min(ms), f"component {c} is not min of {sorted(ms)}"
+
+
+def test_fuzzy_pairs_oracle_nonempty(con):
+    """The L7 entry must keep matching real near-duplicate names."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    if "fuzzy_pairs" not in ORACLE_SQL:
+        pytest.skip("fuzzy_pairs not oracle-paired")
+    n = len(con.execute(ORACLE_SQL["fuzzy_pairs"]).fetchall())
+    assert n > 0, "fuzzy oracle matched nothing — blocking test is vacuous"
