@@ -449,13 +449,26 @@ history is never re-extracted or re-aggregated.
         f"directly, which is how a 4x-larger cluster is actually used at "
         f"100 TB (more data, not the same data)."
     )
+    history_line = ""
+    hist = summary.get("history") or []
+    if hist:
+        def _fmt(h):
+            g = h.get("gate") or {}
+            return "/".join(f"{name}={v['efficiency']}"
+                            for name, v in g.items())
+        prior = "; ".join(_fmt(h) for h in hist if h.get("gate"))
+        history_line = (
+            f"\nPrior sessions on this shared VM measured: {prior} — the"
+            " spread is hypervisor-neighbor noise (the hardware probes"
+            " themselves drift 2x between sessions); each session's walls"
+            " are best-of-N fresh-JVM runs.\n")
     block = f"""{BEGIN}
 ## Scaling evidence (north rule: efficiency >= 0.8 between N and 4N)
 
 **Gate status per recorded variant (raw single-VM numbers):**
 
 {gate_lines}
-
+{history_line}
 The official strong-scaling raw number is {summary['value']}
 (`{summary['official_variant']}` variant). Normalized to the measured
 hardware ceilings of this shared VM: {summary['efficiency_vs_hw_capacity']}
@@ -653,6 +666,31 @@ def main() -> None:
         "efficiency_vs_hw_capacity": official["efficiency_vs_hw_capacity"],
         "efficiency_vs_mem_capacity": official["efficiency_vs_mem_capacity"],
     }
+    # Session history: this VM's run-to-run drift is large (memory-probe
+    # spreads of 2x across sessions), so a single snapshot over- or under-
+    # states the gate. Carry a compact per-session efficiency record forward
+    # so SCALING.json always discloses the measured spread, not one draw.
+    # --recompute reuses stored walls, so it must not append a new session.
+    hist, prev = [], {}
+    try:
+        with open(os.path.join(REPO, "SCALING.json")) as fh:
+            prev = json.load(fh)
+        hist = list(prev.get("history", []))
+        if not args.recompute:
+            hist.append({
+                "ts": prev.get("measured_at"),
+                "gate": prev.get("gate"),
+                "hw_max_speedup": prev.get("hw_max_speedup"),
+                "mem_max_speedup": prev.get("mem_max_speedup"),
+            })
+    except (OSError, json.JSONDecodeError):
+        pass
+    summary["history"] = hist[-12:]
+    if not args.recompute:
+        summary["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    elif prev.get("measured_at"):
+        summary["measured_at"] = prev["measured_at"]
     with open(os.path.join(REPO, "SCALING.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps(summary))
