@@ -663,7 +663,9 @@ def q_minhash_lsh(spark, sf):  # rows-only
     from .operators.dedup import minhash_lsh_candidates
 
     d = _read(spark, sf, "documents")
-    return minhash_lsh_candidates(d)
+    # collapse_exact: production default for crawl corpora (verbatim copies
+    # otherwise inflate band buckets k^2-fold — see BENCH_sf16 / dedup.py)
+    return minhash_lsh_candidates(d, collapse_exact=True)
 
 
 def q_simhash(spark, sf):  # rows-only
@@ -703,7 +705,13 @@ def q_embedding_neardup_lsh(spark, sf):
     from .operators.similarity import cosine_neardup_lsh
 
     e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
-    return cosine_neardup_lsh(e, threshold=0.4, n_planes=2, n_tables=16)
+    # collapse_exact = the production default for crawl corpora: verbatim
+    # duplicates collapse to one representative before bucketing (k copies
+    # otherwise multiply bucket GEMM cost by k^2 — BENCH_sf16 measured 12x);
+    # on this duplicate-free SF it is a no-op semantically, and the oracle
+    # pairing proves that.
+    return cosine_neardup_lsh(e, threshold=0.4, n_planes=2, n_tables=16,
+                              collapse_exact=True)
 
 
 def q_match_improvement(spark, sf):

@@ -74,6 +74,55 @@ def cap_shingle_df(sh: DataFrame, max_df: int, log: bool = True) -> DataFrame:
     return sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
 
 
+def _collapse_verbatim(df: DataFrame, id_col: str, text_col: str):
+    """Collapse byte-identical texts to one representative (min id) before
+    bucket-based candidate generation. Returns (reps, mem):
+    reps — one row per distinct text: (id_col=rep id, text_col, _n members);
+    mem — (rep, member id) mapping for pair re-expansion.
+
+    Rationale (BENCH_sf16): crawls repeat documents verbatim; k copies land
+    in identical LSH buckets, multiplying within-bucket pair expansion by
+    k^2 and pushing buckets over the max_bucket drop guard — collapsing
+    first shrinks buckets back to distinct-content size AND makes duplicate
+    recall exact instead of bucket-dependent."""
+    keyed = df.select(F.col(id_col).alias("_mid"),
+                      F.col(text_col).alias("_txt"),
+                      F.md5(F.col(text_col)).alias("_ck"))
+    reps = keyed.groupBy("_ck").agg(
+        F.min("_mid").alias(id_col),
+        F.first("_txt").alias(text_col),  # per key all texts are identical
+        F.count("*").alias("_n"))
+    mem = keyed.join(reps.select("_ck", F.col(id_col).alias("_rep")), "_ck") \
+               .select("_rep", "_mid")
+    return reps, mem
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, mem: DataFrame,
+                      dup_reps: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """(rep_a, rep_b) pairs -> member-level pairs: cross-content pairs via
+    two membership joins, intra-content pairs (identical text => always
+    near-dup) for representatives in ``dup_reps`` (callers pass only groups
+    whose content actually participates, e.g. has >= 1 shingle, mirroring
+    what the uncollapsed path could have emitted)."""
+    cross = (
+        rep_pairs
+        .join(mem.select(F.col("_rep").alias(a_col),
+                         F.col("_mid").alias("_ia")), a_col)
+        .join(mem.select(F.col("_rep").alias(b_col),
+                         F.col("_mid").alias("_ib")), b_col)
+        .select(F.least("_ia", "_ib").alias(a_col),
+                F.greatest("_ia", "_ib").alias(b_col))
+    )
+    dup_mem = mem.join(dup_reps.select("_rep"), "_rep")
+    x, y = dup_mem.alias("x"), dup_mem.alias("y")
+    intra = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep"))
+               & (F.col("x._mid") < F.col("y._mid")))
+        .select(F.col("x._mid").alias(a_col), F.col("y._mid").alias(b_col))
+    )
+    return cross.unionByName(intra)
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) — universal-hash minhash
     family over the Mersenne prime p = 2^31 - 1:
@@ -139,12 +188,27 @@ def minhash_lsh_candidates(
     rows: int = 4,
     shingle_k: int = 3,
     max_bucket: int = 200,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (da < db) via MinHash LSH.
 
     Buckets larger than ``max_bucket`` are dropped (web-scale template-text
-    guard; at SF nothing approaches the cap)."""
+    guard; at SF nothing approaches the cap). ``collapse_exact`` dedups
+    byte-identical texts first and re-expands pairs afterward (see
+    _collapse_verbatim) — the production default for crawl corpora."""
     assert bands * rows == num_hashes
+    if collapse_exact:
+        reps, mem = _collapse_verbatim(df, id_col, text_col)
+        rep_pairs = minhash_lsh_candidates(
+            reps, id_col, text_col, num_hashes, bands, rows, shingle_k,
+            max_bucket, collapse_exact=False)
+        # intra pairs only for content the banding could see at all
+        # (>= 1 shingle, i.e. >= shingle_k tokens)
+        shingled = (token_shingles(reps.filter(F.col("_n") >= 2),
+                                   id_col, text_col, k=shingle_k)
+                    .select(F.col("doc_id").alias("_rep")).distinct())
+        return _expand_rep_pairs(rep_pairs, mem, shingled, "da", "db") \
+            .distinct()
     sh = token_shingles(df, id_col, text_col, k=shingle_k)
     sig = minhash_signatures(sh, num_hashes=num_hashes)
     banded = lsh_bands(sig, bands=bands, rows=rows)

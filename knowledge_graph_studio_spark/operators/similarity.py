@@ -173,6 +173,7 @@ def cosine_neardup_lsh(
     n_tables: int = 16,
     seed: int = 7,
     max_bucket: int | None = 10_000,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """APPROXIMATE near-dup pairs: random-hyperplane LSH buckets the vectors,
     each (table, bucket) group runs the dense GEMM kernel, candidates are
@@ -184,7 +185,60 @@ def cosine_neardup_lsh(
     This is the 100 TB path: work is sum over buckets of |bucket|^2 instead
     of N^2, and `max_bucket` bounds the worst skewed bucket (a bucket larger
     than the cap is deterministically truncated by id order — callers that
-    cannot tolerate silent truncation pass max_bucket=None)."""
+    cannot tolerate silent truncation pass max_bucket=None).
+
+    ``collapse_exact``: web crawls are full of VERBATIM duplicates, and
+    identical vectors hash into identical buckets — a content repeated k
+    times multiplies every bucket it touches by k and its GEMM cost by k^2
+    (measured 12x degradation on a 16x-tiled corpus, BENCH_sf16). With the
+    flag on, vectors are first collapsed to one representative per distinct
+    content (min id); LSH+GEMM runs over representatives only; pairs are
+    then expanded back through the membership table (cross-content pairs via
+    two joins, intra-content pairs exactly — identical nonzero vectors have
+    cosine 1 by definition, so their recall becomes exact instead of
+    LSH-dependent). Same output contract; bucket work shrinks from
+    sum (k_i |b|)^2 to sum |b|^2. Representatives are keyed by md5 of the
+    vector's string form (collision odds negligible at any corpus size)."""
+    if collapse_exact:
+        keyed = df.select(
+            F.col(id_col).cast("long").alias("_mid"),
+            F.col(vec_col).alias("_v"),
+            F.md5(F.col(vec_col).cast("string")).alias("_ck"),
+        )
+        reps = keyed.groupBy("_ck").agg(
+            F.min("_mid").alias("_rep"),
+            F.first("_v").alias("_v"),  # all rows of a key share the content
+            F.count("*").alias("_n"),
+        )
+        rep_pairs = cosine_neardup_lsh(
+            reps.select(F.col("_rep").alias(id_col),
+                        F.col("_v").alias(vec_col)),
+            threshold, id_col, vec_col, n_planes, n_tables, seed,
+            max_bucket, collapse_exact=False)
+        mem = keyed.join(reps.select("_ck", "_rep"), "_ck").select(
+            "_rep", "_mid")
+        cross = (
+            rep_pairs
+            .join(mem.select(F.col("_rep").alias("va"),
+                             F.col("_mid").alias("_ia")), "va")
+            .join(mem.select(F.col("_rep").alias("vb"),
+                             F.col("_mid").alias("_ib")), "vb")
+            .select(F.least("_ia", "_ib").alias("va"),
+                    F.greatest("_ia", "_ib").alias("vb"))
+        )
+        # duplicate groups: all intra pairs, except all-zero vectors whose
+        # cosine is undefined (the GEMM path drops those too)
+        dup_mem = mem.join(
+            reps.filter((F.col("_n") >= 2)
+                        & F.exists("_v", lambda x: x != 0))
+            .select("_rep"), "_rep")
+        x, y = dup_mem.alias("x"), dup_mem.alias("y")
+        intra = (
+            x.join(y, (F.col("x._rep") == F.col("y._rep"))
+                   & (F.col("x._mid") < F.col("y._mid")))
+            .select(F.col("x._mid").alias("va"), F.col("y._mid").alias("vb"))
+        )
+        return cross.unionByName(intra)
     keyed = lsh_bucket_keys(df, vec_col, id_col, n_planes, n_tables, seed)
     joined = keyed.join(
         df.select(F.col(id_col).cast("long").alias(id_col),

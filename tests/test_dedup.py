@@ -45,6 +45,33 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert recall >= 0.95, f"LSH recall {recall} (missed {missed})"
 
 
+def test_minhash_collapse_exact_equivalence(spark, docs):
+    """collapse_exact dedups verbatim-duplicate texts before banding and
+    re-expands pairs; on a corpus tiled with exact copies (the web-crawl
+    shape) the result must equal the uncollapsed path's — identical texts
+    share every band, so both paths see the same collisions as long as no
+    bucket crosses the drop cap (ensured by the fixture size)."""
+    base = docs.filter("doc_id < 30").select("doc_id", "text")
+    tiled = base.unionByName(
+        base.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    ).unionByName(
+        base.select((F.col("doc_id") + 9000).alias("doc_id"), "text")
+    )
+    plain = {(r["da"], r["db"])
+             for r in minhash_lsh_candidates(tiled).collect()}
+    collapsed = {(r["da"], r["db"])
+                 for r in minhash_lsh_candidates(
+                     tiled, collapse_exact=True).collect()}
+    assert plain == collapsed, (
+        f"only_plain={sorted(plain - collapsed)[:5]} "
+        f"only_collapsed={sorted(collapsed - plain)[:5]}")
+    # duplicate triples of every base doc with >= 1 shingle must be present
+    some = [r["doc_id"] for r in base.filter(
+        F.size(F.split("text", " ")) >= 3).limit(5).collect()]
+    for d in some:
+        assert (d, d + 5000) in collapsed and (d, d + 9000) in collapsed
+
+
 def test_minhash_verified_pairs_match_exact(spark, docs):
     exact = _exact_jaccard_pairs(spark, docs, 0.5)
     verified = {(r["da"], r["db"])

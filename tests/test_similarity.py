@@ -100,6 +100,39 @@ def test_cosine_neardup_lsh_recall_vs_exact(spark, emb):
     assert recall >= 0.9, f"near-dup LSH recall {recall}"
 
 
+def test_cosine_neardup_lsh_collapse_exact_equivalence(spark, emb):
+    """collapse_exact dedups verbatim-duplicate vectors before LSH (the
+    web-crawl shape, BENCH_sf16's 12x finding). On a corpus tiled with exact
+    copies the expanded pair set must equal the uncollapsed path's, except
+    intra-duplicate pairs where collapse is EXACT (cosine 1 by definition)
+    while the uncollapsed path depends on bucket collision — so we assert
+    set equality after confirming the uncollapsed path found its
+    intra-duplicate pairs at these parameters."""
+    base = emb.filter("vec_id < 40").select("vec_id", "embedding")
+    tiled = base.unionByName(
+        base.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    ).unionByName(
+        base.select((F.col("vec_id") + 2000).alias("vec_id"), "embedding")
+    )
+    plain = {(r["va"], r["vb"])
+             for r in cosine_neardup_lsh(tiled, 0.4, n_planes=2,
+                                         n_tables=16).collect()}
+    collapsed = {(r["va"], r["vb"])
+                 for r in cosine_neardup_lsh(tiled, 0.4, n_planes=2,
+                                             n_tables=16,
+                                             collapse_exact=True).collect()}
+    # identical vectors always collide (same hash in every table), so at
+    # these params the uncollapsed path has them too -> exact set equality
+    assert plain == collapsed, (
+        f"only_plain={sorted(plain - collapsed)[:5]} "
+        f"only_collapsed={sorted(collapsed - plain)[:5]}")
+    # every duplicate pair of the same content must be present
+    for base_id in range(40):
+        assert (base_id, base_id + 1000) in collapsed
+        assert (base_id, base_id + 2000) in collapsed
+        assert (base_id + 1000, base_id + 2000) in collapsed
+
+
 def test_ann_lsh_recall(spark, emb):
     qs = emb.filter("vec_id < 5").select(F.col("vec_id").alias("qid"), "embedding")
     vs = emb.filter("vec_id >= 5")
