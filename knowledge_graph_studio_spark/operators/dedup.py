@@ -236,14 +236,61 @@ def minhash_lsh_candidates(
 
 def minhash_neardup_pairs(
     df: DataFrame, jaccard_threshold: float = 0.5,
-    max_shingle_df: int = 1000, **kw
+    max_shingle_df: int = 1000, collapse_exact: bool = False, **kw
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard (candidates-only join,
     the scale-correct version of the all-pairs oracle). The verification join
     goes back through the raw shingle index, so it gets the same hot-shingle
     document-frequency cap as the exact path (cap_shingle_df — logged, not
     silent); sizes are computed over the capped shingle universe so Jaccard
-    stays consistent."""
+    stays consistent.
+
+    ``collapse_exact`` collapses byte-identical texts BEFORE both banding and
+    verification: representatives are verified once and the verdict is
+    expanded to members afterward (k verbatim copies would otherwise inflate
+    the verification join k^2-fold). Intra-duplicate pairs are emitted with
+    Jaccard exactly 1 (common == union == the rep's capped shingle count,
+    skipped when that is 0 — a shingle-less doc can never verify in the
+    uncollapsed path either). Note the shingle df cap then counts document
+    frequency over DISTINCT content, not copies — the more meaningful
+    reading on a duplicated corpus (a template shared by k mirror copies is
+    not k times hotter)."""
+    if collapse_exact:
+        id_col = kw.get("id_col", "doc_id")
+        text_col = kw.get("text_col", "text")
+        k = kw.get("shingle_k", 3)
+        reps, mem = _collapse_verbatim(df, id_col, text_col)
+        rep_out = minhash_neardup_pairs(
+            reps, jaccard_threshold, max_shingle_df, **kw)
+        # rep-level capped shingle counts (same universe the recursive call
+        # verified against) for the intra-duplicate rows
+        rep_sh = (token_shingles(reps, id_col, text_col, k=k)
+                  .select("doc_id", F.xxhash64("shingle").alias("shingle")))
+        if max_shingle_df is not None:
+            rep_sh = cap_shingle_df(rep_sh, max_shingle_df, log=False)
+        rep_sz = rep_sh.groupBy("doc_id").agg(F.count("*").alias("_nsh"))
+        cross = (
+            rep_out
+            .join(mem.select(F.col("_rep").alias("da"),
+                             F.col("_mid").alias("_ia")), "da")
+            .join(mem.select(F.col("_rep").alias("db"),
+                             F.col("_mid").alias("_ib")), "db")
+            .select(F.least("_ia", "_ib").alias("da"),
+                    F.greatest("_ia", "_ib").alias("db"),
+                    "common", "union_size"))
+        dup_mem = (
+            mem.join(reps.filter(F.col("_n") >= 2)
+                     .select(F.col(id_col).alias("_rep")), "_rep")
+            .join(rep_sz.filter(F.col("_nsh") >= 1)
+                  .select(F.col("doc_id").alias("_rep"), "_nsh"), "_rep"))
+        x, y = dup_mem.alias("x"), dup_mem.alias("y")
+        intra = (
+            x.join(y, (F.col("x._rep") == F.col("y._rep"))
+                   & (F.col("x._mid") < F.col("y._mid")))
+            .select(F.col("x._mid").alias("da"), F.col("y._mid").alias("db"),
+                    F.col("x._nsh").alias("common"),
+                    F.col("x._nsh").alias("union_size")))
+        return cross.unionByName(intra)
     cands = minhash_lsh_candidates(df, **kw)
     # 64-bit hash key first (cheaper join compare, collision odds ~m^2/2^65),
     # then localCheckpoint ONCE pre-cap: compute-once without a CacheManager

@@ -72,6 +72,28 @@ def test_minhash_collapse_exact_equivalence(spark, docs):
         assert (d, d + 5000) in collapsed and (d, d + 9000) in collapsed
 
 
+def test_minhash_verified_collapse_equivalence(spark, docs):
+    """Collapse-aware verification: rep-level verify + expansion must emit
+    the same (da, db, common, union_size) rows as verifying the full tiled
+    corpus (no shingle approaches the df cap at this fixture size, so the
+    per-copy vs per-content df readings coincide), with intra-duplicate rows
+    at Jaccard exactly 1."""
+    base = docs.filter("doc_id < 30").select("doc_id", "text")
+    tiled = base.unionByName(
+        base.select((F.col("doc_id") + 5000).alias("doc_id"), "text"))
+    plain = {tuple(r) for r in minhash_neardup_pairs(
+        tiled, jaccard_threshold=0.5).collect()}
+    collapsed = {tuple(r) for r in minhash_neardup_pairs(
+        tiled, jaccard_threshold=0.5, collapse_exact=True).collect()}
+    assert plain == collapsed, (
+        f"only_plain={sorted(plain - collapsed)[:4]} "
+        f"only_collapsed={sorted(collapsed - plain)[:4]}")
+    intra = [r for r in collapsed if r[1] == r[0] + 5000]
+    assert intra, "expected intra-duplicate pairs"
+    for da, db, common, union in intra:
+        assert common == union, "duplicate pair must verify at Jaccard 1"
+
+
 def test_minhash_verified_pairs_match_exact(spark, docs):
     exact = _exact_jaccard_pairs(spark, docs, 0.5)
     verified = {(r["da"], r["db"])
