@@ -319,6 +319,85 @@ def minhash_neardup_pairs(
     return out.select("da", "db", "common", "union_size")
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    collapse_exact: bool = False,
+) -> DataFrame:
+    """EXACT n-gram-shingle Jaccard near-dup pairs (da < db, with common /
+    union_size counts) via an inverted-index self-join on the 64-bit shingle
+    hash — never O(n^2) docs — behind the hot-shingle document-frequency cap
+    (cap_shingle_df; see driver_contract.q_dedup_ngram_jaccard for the full
+    plan commentary: hash-before-cap, one pre-cap localCheckpoint, the cap's
+    broadcast LEFT ANTI stays above it for the plan gate).
+
+    ``collapse_exact`` collapses byte-identical texts first and expands the
+    verified pairs back (same construction as minhash_neardup_pairs): k
+    verbatim copies otherwise multiply the posting-list self-join k^2-fold.
+    EXACT pairs stay exact — identical content has Jaccard 1 by definition;
+    the df cap then counts document frequency over distinct content rather
+    than copies (the more meaningful reading on a duplicated corpus)."""
+    if collapse_exact:
+        reps, mem = _collapse_verbatim(df, id_col, text_col)
+        rep_out = ngram_jaccard_pairs(
+            reps, jaccard_threshold, max_shingle_df, id_col, text_col,
+            shingle_k, collapse_exact=False)
+        rep_sh = (token_shingles(reps, id_col, text_col, k=shingle_k)
+                  .select("doc_id", F.xxhash64("shingle").alias("shingle")))
+        if max_shingle_df is not None:
+            rep_sh = cap_shingle_df(rep_sh, max_shingle_df, log=False)
+        rep_sz = rep_sh.groupBy("doc_id").agg(F.count("*").alias("_nsh"))
+        cross = (
+            rep_out
+            .join(mem.select(F.col("_rep").alias("da"),
+                             F.col("_mid").alias("_ia")), "da")
+            .join(mem.select(F.col("_rep").alias("db"),
+                             F.col("_mid").alias("_ib")), "db")
+            .select(F.least("_ia", "_ib").alias("da"),
+                    F.greatest("_ia", "_ib").alias("db"),
+                    "common", "union_size"))
+        dup_mem = (
+            mem.join(reps.filter(F.col("_n") >= 2)
+                     .select(F.col(id_col).alias("_rep")), "_rep")
+            .join(rep_sz.filter(F.col("_nsh") >= 1)
+                  .select(F.col("doc_id").alias("_rep"), "_nsh"), "_rep"))
+        x, y = dup_mem.alias("x"), dup_mem.alias("y")
+        intra = (
+            x.join(y, (F.col("x._rep") == F.col("y._rep"))
+                   & (F.col("x._mid") < F.col("y._mid")))
+            .select(F.col("x._mid").alias("da"), F.col("y._mid").alias("db"),
+                    F.col("x._nsh").alias("common"),
+                    F.col("x._nsh").alias("union_size")))
+        return cross.unionByName(intra)
+    sh = (token_shingles(df, id_col, text_col, k=shingle_k)
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+          .localCheckpoint(eager=False))
+    if max_shingle_df is not None:
+        sh = cap_shingle_df(sh, max_shingle_df)
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "da").join(sb, "db")
+        .filter(F.col("common") >= F.lit(jaccard_threshold)
+                * (F.col("na") + F.col("nb") - F.col("common")))
+        .select("da", "db", "common",
+                (F.col("na") + F.col("nb") - F.col("common"))
+                .alias("union_size"))
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63
 ) -> DataFrame:

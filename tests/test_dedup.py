@@ -94,6 +94,26 @@ def test_minhash_verified_collapse_equivalence(spark, docs):
         assert common == union, "duplicate pair must verify at Jaccard 1"
 
 
+def test_ngram_jaccard_collapse_equivalence(spark, docs):
+    """Exact n-gram Jaccard with duplicate collapse must emit the same
+    (da, db, common, union_size) rows as the direct inverted-index join on
+    a verbatim-tiled corpus (no shingle near the df cap here)."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base = docs.filter("doc_id < 30").select("doc_id", "text")
+    tiled = base.unionByName(
+        base.select((F.col("doc_id") + 5000).alias("doc_id"), "text"))
+    plain = {tuple(r) for r in ngram_jaccard_pairs(tiled, 0.5).collect()}
+    collapsed = {tuple(r) for r in ngram_jaccard_pairs(
+        tiled, 0.5, collapse_exact=True).collect()}
+    assert plain == collapsed, (
+        f"only_plain={sorted(plain - collapsed)[:4]} "
+        f"only_collapsed={sorted(collapsed - plain)[:4]}")
+    assert any(r[1] == r[0] + 5000 for r in collapsed)
+
+
 def test_minhash_verified_pairs_match_exact(spark, docs):
     exact = _exact_jaccard_pairs(spark, docs, 0.5)
     verified = {(r["da"], r["db"])
