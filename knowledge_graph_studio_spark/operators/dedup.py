@@ -97,6 +97,39 @@ def _collapse_verbatim(df: DataFrame, id_col: str, text_col: str):
     return reps, mem
 
 
+def _expand_verified_pairs(rep_out: DataFrame, mem: DataFrame,
+                           reps: DataFrame, rep_sz: DataFrame,
+                           id_col: str) -> DataFrame:
+    """Shared expansion for the VERIFIED (da, db, common, union_size) shape
+    (minhash_neardup_pairs / ngram_jaccard_pairs with collapse_exact):
+    cross-content rows carry the representative pair's counts (identical
+    content per member); intra-duplicate rows emit Jaccard exactly 1 using
+    the rep's capped shingle count from ``rep_sz`` (doc_id, _nsh), skipping
+    shingle-less content (which the uncollapsed join can never emit)."""
+    cross = (
+        rep_out
+        .join(mem.select(F.col("_rep").alias("da"),
+                         F.col("_mid").alias("_ia")), "da")
+        .join(mem.select(F.col("_rep").alias("db"),
+                         F.col("_mid").alias("_ib")), "db")
+        .select(F.least("_ia", "_ib").alias("da"),
+                F.greatest("_ia", "_ib").alias("db"),
+                "common", "union_size"))
+    dup_mem = (
+        mem.join(reps.filter(F.col("_n") >= 2)
+                 .select(F.col(id_col).alias("_rep")), "_rep")
+        .join(rep_sz.filter(F.col("_nsh") >= 1)
+              .select(F.col("doc_id").alias("_rep"), "_nsh"), "_rep"))
+    x, y = dup_mem.alias("x"), dup_mem.alias("y")
+    intra = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep"))
+               & (F.col("x._mid") < F.col("y._mid")))
+        .select(F.col("x._mid").alias("da"), F.col("y._mid").alias("db"),
+                F.col("x._nsh").alias("common"),
+                F.col("x._nsh").alias("union_size")))
+    return cross.unionByName(intra)
+
+
 def _expand_rep_pairs(rep_pairs: DataFrame, mem: DataFrame,
                       dup_reps: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """(rep_a, rep_b) pairs -> member-level pairs: cross-content pairs via
@@ -269,28 +302,7 @@ def minhash_neardup_pairs(
         if max_shingle_df is not None:
             rep_sh = cap_shingle_df(rep_sh, max_shingle_df, log=False)
         rep_sz = rep_sh.groupBy("doc_id").agg(F.count("*").alias("_nsh"))
-        cross = (
-            rep_out
-            .join(mem.select(F.col("_rep").alias("da"),
-                             F.col("_mid").alias("_ia")), "da")
-            .join(mem.select(F.col("_rep").alias("db"),
-                             F.col("_mid").alias("_ib")), "db")
-            .select(F.least("_ia", "_ib").alias("da"),
-                    F.greatest("_ia", "_ib").alias("db"),
-                    "common", "union_size"))
-        dup_mem = (
-            mem.join(reps.filter(F.col("_n") >= 2)
-                     .select(F.col(id_col).alias("_rep")), "_rep")
-            .join(rep_sz.filter(F.col("_nsh") >= 1)
-                  .select(F.col("doc_id").alias("_rep"), "_nsh"), "_rep"))
-        x, y = dup_mem.alias("x"), dup_mem.alias("y")
-        intra = (
-            x.join(y, (F.col("x._rep") == F.col("y._rep"))
-                   & (F.col("x._mid") < F.col("y._mid")))
-            .select(F.col("x._mid").alias("da"), F.col("y._mid").alias("db"),
-                    F.col("x._nsh").alias("common"),
-                    F.col("x._nsh").alias("union_size")))
-        return cross.unionByName(intra)
+        return _expand_verified_pairs(rep_out, mem, reps, rep_sz, id_col)
     cands = minhash_lsh_candidates(df, **kw)
     # 64-bit hash key first (cheaper join compare, collision odds ~m^2/2^65),
     # then localCheckpoint ONCE pre-cap: compute-once without a CacheManager
@@ -351,28 +363,7 @@ def ngram_jaccard_pairs(
         if max_shingle_df is not None:
             rep_sh = cap_shingle_df(rep_sh, max_shingle_df, log=False)
         rep_sz = rep_sh.groupBy("doc_id").agg(F.count("*").alias("_nsh"))
-        cross = (
-            rep_out
-            .join(mem.select(F.col("_rep").alias("da"),
-                             F.col("_mid").alias("_ia")), "da")
-            .join(mem.select(F.col("_rep").alias("db"),
-                             F.col("_mid").alias("_ib")), "db")
-            .select(F.least("_ia", "_ib").alias("da"),
-                    F.greatest("_ia", "_ib").alias("db"),
-                    "common", "union_size"))
-        dup_mem = (
-            mem.join(reps.filter(F.col("_n") >= 2)
-                     .select(F.col(id_col).alias("_rep")), "_rep")
-            .join(rep_sz.filter(F.col("_nsh") >= 1)
-                  .select(F.col("doc_id").alias("_rep"), "_nsh"), "_rep"))
-        x, y = dup_mem.alias("x"), dup_mem.alias("y")
-        intra = (
-            x.join(y, (F.col("x._rep") == F.col("y._rep"))
-                   & (F.col("x._mid") < F.col("y._mid")))
-            .select(F.col("x._mid").alias("da"), F.col("y._mid").alias("db"),
-                    F.col("x._nsh").alias("common"),
-                    F.col("x._nsh").alias("union_size")))
-        return cross.unionByName(intra)
+        return _expand_verified_pairs(rep_out, mem, reps, rep_sz, id_col)
     sh = (token_shingles(df, id_col, text_col, k=shingle_k)
           .select("doc_id", F.xxhash64("shingle").alias("shingle"))
           .localCheckpoint(eager=False))
