@@ -396,7 +396,9 @@ def q_embedding_neardup(spark, sf):
     from .operators.similarity import cosine_allpairs
 
     e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
-    return cosine_allpairs(e, threshold=0.4)
+    # collapse stays EXACT (identical vectors are cosine-1 pairs by
+    # definition) — the same all-pairs DuckDB oracle verifies that
+    return cosine_allpairs(e, threshold=0.4, collapse_exact=True)
 
 
 def q_lang_id(spark, sf):

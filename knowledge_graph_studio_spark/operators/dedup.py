@@ -85,15 +85,18 @@ def _collapse_verbatim(df: DataFrame, id_col: str, text_col: str):
     k^2 and pushing buckets over the max_bucket drop guard — collapsing
     first shrinks buckets back to distinct-content size AND makes duplicate
     recall exact instead of bucket-dependent."""
-    keyed = df.select(F.col(id_col).alias("_mid"),
-                      F.col(text_col).alias("_txt"),
-                      F.md5(F.col(text_col)).alias("_ck"))
-    reps = keyed.groupBy("_ck").agg(
-        F.min("_mid").alias(id_col),
-        F.first("_txt").alias(text_col),  # per key all texts are identical
-        F.count("*").alias("_n"))
-    mem = keyed.join(reps.select("_ck", F.col(id_col).alias("_rep")), "_ck") \
-               .select("_rep", "_mid")
+    # slim checksum frame computed once (48 bytes/row) and shared by the rep
+    # election and the membership join; rep texts fetched back by id join —
+    # never materialize or re-hash the text column twice
+    ck = df.select(F.col(id_col).alias("_mid"),
+                   F.md5(F.col(text_col)).alias("_ck")) \
+           .localCheckpoint(eager=False)
+    grp = ck.groupBy("_ck").agg(
+        F.min("_mid").alias("_rep"), F.count("*").alias("_n"))
+    reps = grp.join(
+        df.select(F.col(id_col).alias("_rep"), F.col(text_col)), "_rep") \
+        .select(F.col("_rep").alias(id_col), text_col, "_n")
+    mem = ck.join(grp.select("_ck", "_rep"), "_ck").select("_rep", "_mid")
     return reps, mem
 
 

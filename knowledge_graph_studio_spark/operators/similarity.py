@@ -112,12 +112,62 @@ def _gemm_pairs(ids_a: np.ndarray, mat_a: np.ndarray,
                          "vb": np.concatenate(outs_b)})
 
 
+def _collapse_expand_vectors(df, threshold, id_col, vec_col, rep_pairs_fn):
+    """Shared verbatim-duplicate collapse for the vector near-dup operators:
+    collapse identical vectors (md5 of the array's string form) to one
+    representative (min id), compute representative-level pairs with
+    ``rep_pairs_fn(reps_df)``, then expand back through the membership
+    table — cross-content pairs via two joins, intra-content pairs exactly
+    (identical nonzero vectors have cosine 1 by definition; all-zero groups
+    are skipped, their cosine is undefined and the GEMM drops them too).
+    k verbatim copies otherwise multiply pairwise GEMM work by k^2
+    (BENCH_sf16: measured 12x LSH / 2x+ exact degradation on a 16x-tiled
+    corpus)."""
+    # Checksum pass kept SLIM and computed once: stringifying a 1024-float
+    # array for md5 costs real per-row time, and the (_mid, _ck) frame is
+    # consumed by both the rep election and the membership join — checkpoint
+    # 48 bytes/row instead of re-evaluating the cast+md5 (or materializing
+    # vectors). Rep vectors are fetched back by id join afterward.
+    ck = df.select(
+        F.col(id_col).cast("long").alias("_mid"),
+        F.md5(F.col(vec_col).cast("string")).alias("_ck"),
+    ).localCheckpoint(eager=False)
+    grp = ck.groupBy("_ck").agg(
+        F.min("_mid").alias("_rep"), F.count("*").alias("_n"))
+    reps = grp.join(
+        df.select(F.col(id_col).cast("long").alias("_rep"),
+                  F.col(vec_col).alias("_v")), "_rep")
+    rep_pairs = rep_pairs_fn(
+        reps.select(F.col("_rep").alias(id_col), F.col("_v").alias(vec_col)))
+    mem = ck.join(grp.select("_ck", "_rep"), "_ck").select("_rep", "_mid")
+    cross = (
+        rep_pairs
+        .join(mem.select(F.col("_rep").alias("va"),
+                         F.col("_mid").alias("_ia")), "va")
+        .join(mem.select(F.col("_rep").alias("vb"),
+                         F.col("_mid").alias("_ib")), "vb")
+        .select(F.least("_ia", "_ib").alias("va"),
+                F.greatest("_ia", "_ib").alias("vb"))
+    )
+    dup_mem = mem.join(
+        reps.filter((F.col("_n") >= 2) & F.exists("_v", lambda x: x != 0))
+        .select("_rep"), "_rep")
+    x, y = dup_mem.alias("x"), dup_mem.alias("y")
+    intra = (
+        x.join(y, (F.col("x._rep") == F.col("y._rep"))
+               & (F.col("x._mid") < F.col("y._mid")))
+        .select(F.col("x._mid").alias("va"), F.col("y._mid").alias("vb"))
+    )
+    return cross.unionByName(intra)
+
+
 def cosine_allpairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs cosine >= threshold via distributed block-pair GEMM.
 
@@ -131,7 +181,19 @@ def cosine_allpairs(
     (below) to avoid the quadratic work when approximate recall suffices.
 
     Reference parity: exact counterpart of Atlas $vectorSearch's similarity
-    semantics (services/crud/chunks.py:64-100) applied all-pairs."""
+    semantics (services/crud/chunks.py:64-100) applied all-pairs.
+
+    ``collapse_exact``: dedup verbatim-identical vectors before the GEMM and
+    re-expand pairs after (_collapse_expand_vectors) — k copies of a vector
+    otherwise multiply the O(N^2) flops by up to k^2 while adding only
+    information the expansion join reconstructs exactly. The result is still
+    EXACT (identical nonzero vectors have cosine 1; emitted whenever
+    threshold <= 1, which is every meaningful threshold)."""
+    if collapse_exact:
+        return _collapse_expand_vectors(
+            df, threshold, id_col, vec_col,
+            lambda reps: cosine_allpairs(reps, threshold, id_col, vec_col,
+                                         n_blocks, collapse_exact=False))
     B = int(n_blocks)
 
     src = df.select(
@@ -200,45 +262,11 @@ def cosine_neardup_lsh(
     sum (k_i |b|)^2 to sum |b|^2. Representatives are keyed by md5 of the
     vector's string form (collision odds negligible at any corpus size)."""
     if collapse_exact:
-        keyed = df.select(
-            F.col(id_col).cast("long").alias("_mid"),
-            F.col(vec_col).alias("_v"),
-            F.md5(F.col(vec_col).cast("string")).alias("_ck"),
-        )
-        reps = keyed.groupBy("_ck").agg(
-            F.min("_mid").alias("_rep"),
-            F.first("_v").alias("_v"),  # all rows of a key share the content
-            F.count("*").alias("_n"),
-        )
-        rep_pairs = cosine_neardup_lsh(
-            reps.select(F.col("_rep").alias(id_col),
-                        F.col("_v").alias(vec_col)),
-            threshold, id_col, vec_col, n_planes, n_tables, seed,
-            max_bucket, collapse_exact=False)
-        mem = keyed.join(reps.select("_ck", "_rep"), "_ck").select(
-            "_rep", "_mid")
-        cross = (
-            rep_pairs
-            .join(mem.select(F.col("_rep").alias("va"),
-                             F.col("_mid").alias("_ia")), "va")
-            .join(mem.select(F.col("_rep").alias("vb"),
-                             F.col("_mid").alias("_ib")), "vb")
-            .select(F.least("_ia", "_ib").alias("va"),
-                    F.greatest("_ia", "_ib").alias("vb"))
-        )
-        # duplicate groups: all intra pairs, except all-zero vectors whose
-        # cosine is undefined (the GEMM path drops those too)
-        dup_mem = mem.join(
-            reps.filter((F.col("_n") >= 2)
-                        & F.exists("_v", lambda x: x != 0))
-            .select("_rep"), "_rep")
-        x, y = dup_mem.alias("x"), dup_mem.alias("y")
-        intra = (
-            x.join(y, (F.col("x._rep") == F.col("y._rep"))
-                   & (F.col("x._mid") < F.col("y._mid")))
-            .select(F.col("x._mid").alias("va"), F.col("y._mid").alias("vb"))
-        )
-        return cross.unionByName(intra)
+        return _collapse_expand_vectors(
+            df, threshold, id_col, vec_col,
+            lambda reps: cosine_neardup_lsh(
+                reps, threshold, id_col, vec_col, n_planes, n_tables, seed,
+                max_bucket, collapse_exact=False))
     keyed = lsh_bucket_keys(df, vec_col, id_col, n_planes, n_tables, seed)
     joined = keyed.join(
         df.select(F.col(id_col).cast("long").alias(id_col),

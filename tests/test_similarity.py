@@ -131,6 +131,14 @@ def test_cosine_neardup_lsh_collapse_exact_equivalence(spark, emb):
         assert (base_id, base_id + 1000) in collapsed
         assert (base_id, base_id + 2000) in collapsed
         assert (base_id + 1000, base_id + 2000) in collapsed
+    # the EXACT path with collapse must match the exact path without it —
+    # both are exact, so this is full set equality by construction
+    exact_plain = {(r["va"], r["vb"])
+                   for r in cosine_allpairs(tiled, 0.4).collect()}
+    exact_collapsed = {(r["va"], r["vb"])
+                       for r in cosine_allpairs(
+                           tiled, 0.4, collapse_exact=True).collect()}
+    assert exact_plain == exact_collapsed
 
 
 def test_ann_lsh_recall(spark, emb):
