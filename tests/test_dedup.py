@@ -94,6 +94,24 @@ def test_minhash_verified_collapse_equivalence(spark, docs):
         assert common == union, "duplicate pair must verify at Jaccard 1"
 
 
+def test_ngram_operator_matches_contract_query(spark, docs):
+    """dedup.ngram_jaccard_pairs must emit exactly the rows of the
+    oracle-paired contract query (same shingle semantics, threshold 0.5) —
+    the operator is the reusable form of the DuckDB-verified path."""
+    from knowledge_graph_studio_spark.driver_contract import (
+        q_dedup_ngram_jaccard,
+    )
+    from knowledge_graph_studio_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    contract = {tuple(r) for r in q_dedup_ngram_jaccard(spark, SF).collect()}
+    for collapse in (False, True):
+        ops = {tuple(r) for r in ngram_jaccard_pairs(
+            docs, 0.5, collapse_exact=collapse).collect()}
+        assert ops == contract, f"collapse={collapse}"
+
+
 def test_ngram_jaccard_collapse_equivalence(spark, docs):
     """Exact n-gram Jaccard with duplicate collapse must emit the same
     (da, db, common, union_size) rows as the direct inverted-index join on
