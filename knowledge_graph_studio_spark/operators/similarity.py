@@ -123,14 +123,20 @@ def _collapse_expand_vectors(df, threshold, id_col, vec_col, rep_pairs_fn):
     k verbatim copies otherwise multiply pairwise GEMM work by k^2
     (BENCH_sf16: measured 12x LSH / 2x+ exact degradation on a 16x-tiled
     corpus)."""
-    # Checksum pass kept SLIM and computed once: stringifying a 1024-float
-    # array for md5 costs real per-row time, and the (_mid, _ck) frame is
-    # consumed by both the rep election and the membership join — checkpoint
-    # 48 bytes/row instead of re-evaluating the cast+md5 (or materializing
-    # vectors). Rep vectors are fetched back by id join afterward.
+    # Checksum pass kept SLIM and computed once: the content key is a DOUBLE
+    # xxhash64 taken directly on the array column (two independent seeds =
+    # 128 combined bits, collision-safe at any corpus size like md5, but
+    # JVM-codegen'd with NO per-row stringification of the 1024-float
+    # array — the md5(cast-to-string) version measured ~1s/16k rows). The
+    # (_mid, _ck) frame is consumed by both the rep election and the
+    # membership join — checkpoint ~32 bytes/row; rep vectors are fetched
+    # back by id join afterward.
     ck = df.select(
         F.col(id_col).cast("long").alias("_mid"),
-        F.md5(F.col(vec_col).cast("string")).alias("_ck"),
+        F.struct(
+            F.xxhash64(F.col(vec_col)).alias("h1"),
+            F.xxhash64(F.lit(7), F.col(vec_col)).alias("h2"),
+        ).alias("_ck"),
     ).localCheckpoint(eager=False)
     grp = ck.groupBy("_ck").agg(
         F.min("_mid").alias("_rep"), F.count("*").alias("_n"))
