@@ -73,7 +73,10 @@ def main() -> None:
     # flagship KG pipeline, sized to SF (sf0.1 -> 20k pages; floor keeps the
     # measurement above the fixed-overhead regime so triples/sec reflects
     # steady-state throughput, not session startup)
-    n_pages = max(int(200000 * sf), 2000)
+    # KG corpus size tracks the SF; for non-numeric dirs (gen_sf.py tiles)
+    # SPARK_GRAFT_KG_PAGES overrides the floor fallback.
+    n_pages = int(os.environ.get("SPARK_GRAFT_KG_PAGES",
+                                 max(int(200000 * sf), 2000)))
     # warm the per-core Python workers (long-lived on a real cluster) so the
     # KG number is steady-state, matching tools/scaling_bench.py methodology
     build_graph(spark, synthetic_pages(spark, 32 * cores, seed=1,
