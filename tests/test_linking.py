@@ -242,6 +242,19 @@ def test_build_nodes_chunk_count_exact_under_cap(spark):
     assert uncapped["chunk_count"] == len(uncapped["chunks"]) == 10
 
 
+def test_build_nodes_share_scan_equivalence(spark):
+    """share_scan=True (materialize the endpoint expansion once) must be a
+    pure execution-strategy knob — byte-identical node table."""
+    rows = [_t("u", f"c{i % 7}", f"E{i % 5}", "company", "r",
+               f"T{i % 3}", "company") for i in range(40)]
+    triples = _triples_df(spark, rows)
+    base = sorted(map(str, build_nodes(triples, graph="g",
+                                       max_chunks=4).collect()))
+    shared = sorted(map(str, build_nodes(triples, graph="g", max_chunks=4,
+                                         share_scan=True).collect()))
+    assert base == shared
+
+
 def test_incremental_upsert_equals_full_build(spark):
     """S9 upsert law: merging two disjoint half-builds through
     upsert_nodes/upsert_edges reproduces the full build EXACTLY (uncapped) —
