@@ -92,7 +92,13 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
     of this operator's wall at sf0.1)."""
     src = df.select(id_col, _tokens(text_col).alias("_toks"))
     toks = F.col("_toks")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, so a doc with
+    # fewer than k tokens must short-circuit to an empty index list (the
+    # old greatest(..., 0) floor produced [1, 0] and an out-of-bounds
+    # element_at under ANSI for every sub-k-token document)
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(k)]),

@@ -132,6 +132,31 @@ def test_ngram_jaccard_collapse_equivalence(spark, docs):
     assert any(r[1] == r[0] + 5000 for r in collapsed)
 
 
+def test_collapse_skips_shingleless_duplicates(spark):
+    """Duplicated EMPTY or sub-k-token texts have no shingles: the
+    uncollapsed inverted-index/banding joins can never emit them, so the
+    collapse expansion must not fabricate intra pairs for them either."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        minhash_lsh_candidates, minhash_neardup_pairs, ngram_jaccard_pairs,
+    )
+
+    rows = ([(i, "") for i in range(3)]            # empty duplicates
+            + [(10 + i, "two tokens") for i in range(3)]  # < k tokens
+            + [(20 + i, "a real document with plenty of shingled tokens here")
+               for i in range(3)])                 # real duplicates
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fn in (minhash_lsh_candidates, minhash_neardup_pairs,
+               ngram_jaccard_pairs):
+        kw = ({"jaccard_threshold": 0.5}
+              if fn is not minhash_lsh_candidates else {})
+        plain = {(r["da"], r["db"]) for r in fn(df, **kw).collect()}
+        collapsed = {(r["da"], r["db"])
+                     for r in fn(df, collapse_exact=True, **kw).collect()}
+        assert plain == collapsed, fn.__name__
+        assert (20, 21) in collapsed and (0, 1) not in collapsed \
+            and (10, 11) not in collapsed, fn.__name__
+
+
 def test_minhash_verified_pairs_match_exact(spark, docs):
     exact = _exact_jaccard_pairs(spark, docs, 0.5)
     verified = {(r["da"], r["db"])
