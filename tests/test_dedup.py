@@ -143,7 +143,8 @@ def test_collapse_skips_shingleless_duplicates(spark):
     rows = ([(i, "") for i in range(3)]            # empty duplicates
             + [(10 + i, "two tokens") for i in range(3)]  # < k tokens
             + [(20 + i, "a real document with plenty of shingled tokens here")
-               for i in range(3)])                 # real duplicates
+               for i in range(3)]                  # real duplicates
+            + [(30, None), (31, None)])            # null texts (md5 -> null)
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for fn in (minhash_lsh_candidates, minhash_neardup_pairs,
                ngram_jaccard_pairs):
