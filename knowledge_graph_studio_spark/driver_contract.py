@@ -670,11 +670,16 @@ def q_minhash_lsh(spark, sf):  # rows-only
     return minhash_lsh_candidates(d, collapse_exact=True)
 
 
-def q_simhash(spark, sf):  # rows-only
+def q_simhash(spark, sf):
+    """SimHash signatures + hamming-blocking bands — ORACLE-PAIRED via the
+    md5_60 hash family: the top 60 bits of standard MD5 are bit-identical
+    between Spark and DuckDB, so signature, band ids and band keys are
+    value-checked end-to-end (the production default stays xxhash64 — same
+    plan, faster hash; only the hash family differs)."""
     from .operators.dedup import simhash_buckets
 
     d = _read(spark, sf, "documents")
-    return simhash_buckets(d)
+    return simhash_buckets(d, band_bits=15, bits=60, hash_fn="md5_60")
 
 
 def q_ann_lsh_topk(spark, sf):  # rows-only
@@ -1035,6 +1040,81 @@ ORACLE_SQL: dict[str, str] = {
         select name, count(*) as degree,
                cast(sum(support) as bigint) as support_sum
         from ends group by name""",
+    "simhash": """
+        with toks as (
+          select doc_id,
+                 CAST(concat('0x', substr(md5(unnest(string_split(text, ' '))), 1, 15)) AS BIGINT) as h
+          from documents
+        ), sums as (
+          select doc_id,
+          sum(case when (h >> 0) & 1 = 1 then 1 else -1 end) as b0,
+          sum(case when (h >> 1) & 1 = 1 then 1 else -1 end) as b1,
+          sum(case when (h >> 2) & 1 = 1 then 1 else -1 end) as b2,
+          sum(case when (h >> 3) & 1 = 1 then 1 else -1 end) as b3,
+          sum(case when (h >> 4) & 1 = 1 then 1 else -1 end) as b4,
+          sum(case when (h >> 5) & 1 = 1 then 1 else -1 end) as b5,
+          sum(case when (h >> 6) & 1 = 1 then 1 else -1 end) as b6,
+          sum(case when (h >> 7) & 1 = 1 then 1 else -1 end) as b7,
+          sum(case when (h >> 8) & 1 = 1 then 1 else -1 end) as b8,
+          sum(case when (h >> 9) & 1 = 1 then 1 else -1 end) as b9,
+          sum(case when (h >> 10) & 1 = 1 then 1 else -1 end) as b10,
+          sum(case when (h >> 11) & 1 = 1 then 1 else -1 end) as b11,
+          sum(case when (h >> 12) & 1 = 1 then 1 else -1 end) as b12,
+          sum(case when (h >> 13) & 1 = 1 then 1 else -1 end) as b13,
+          sum(case when (h >> 14) & 1 = 1 then 1 else -1 end) as b14,
+          sum(case when (h >> 15) & 1 = 1 then 1 else -1 end) as b15,
+          sum(case when (h >> 16) & 1 = 1 then 1 else -1 end) as b16,
+          sum(case when (h >> 17) & 1 = 1 then 1 else -1 end) as b17,
+          sum(case when (h >> 18) & 1 = 1 then 1 else -1 end) as b18,
+          sum(case when (h >> 19) & 1 = 1 then 1 else -1 end) as b19,
+          sum(case when (h >> 20) & 1 = 1 then 1 else -1 end) as b20,
+          sum(case when (h >> 21) & 1 = 1 then 1 else -1 end) as b21,
+          sum(case when (h >> 22) & 1 = 1 then 1 else -1 end) as b22,
+          sum(case when (h >> 23) & 1 = 1 then 1 else -1 end) as b23,
+          sum(case when (h >> 24) & 1 = 1 then 1 else -1 end) as b24,
+          sum(case when (h >> 25) & 1 = 1 then 1 else -1 end) as b25,
+          sum(case when (h >> 26) & 1 = 1 then 1 else -1 end) as b26,
+          sum(case when (h >> 27) & 1 = 1 then 1 else -1 end) as b27,
+          sum(case when (h >> 28) & 1 = 1 then 1 else -1 end) as b28,
+          sum(case when (h >> 29) & 1 = 1 then 1 else -1 end) as b29,
+          sum(case when (h >> 30) & 1 = 1 then 1 else -1 end) as b30,
+          sum(case when (h >> 31) & 1 = 1 then 1 else -1 end) as b31,
+          sum(case when (h >> 32) & 1 = 1 then 1 else -1 end) as b32,
+          sum(case when (h >> 33) & 1 = 1 then 1 else -1 end) as b33,
+          sum(case when (h >> 34) & 1 = 1 then 1 else -1 end) as b34,
+          sum(case when (h >> 35) & 1 = 1 then 1 else -1 end) as b35,
+          sum(case when (h >> 36) & 1 = 1 then 1 else -1 end) as b36,
+          sum(case when (h >> 37) & 1 = 1 then 1 else -1 end) as b37,
+          sum(case when (h >> 38) & 1 = 1 then 1 else -1 end) as b38,
+          sum(case when (h >> 39) & 1 = 1 then 1 else -1 end) as b39,
+          sum(case when (h >> 40) & 1 = 1 then 1 else -1 end) as b40,
+          sum(case when (h >> 41) & 1 = 1 then 1 else -1 end) as b41,
+          sum(case when (h >> 42) & 1 = 1 then 1 else -1 end) as b42,
+          sum(case when (h >> 43) & 1 = 1 then 1 else -1 end) as b43,
+          sum(case when (h >> 44) & 1 = 1 then 1 else -1 end) as b44,
+          sum(case when (h >> 45) & 1 = 1 then 1 else -1 end) as b45,
+          sum(case when (h >> 46) & 1 = 1 then 1 else -1 end) as b46,
+          sum(case when (h >> 47) & 1 = 1 then 1 else -1 end) as b47,
+          sum(case when (h >> 48) & 1 = 1 then 1 else -1 end) as b48,
+          sum(case when (h >> 49) & 1 = 1 then 1 else -1 end) as b49,
+          sum(case when (h >> 50) & 1 = 1 then 1 else -1 end) as b50,
+          sum(case when (h >> 51) & 1 = 1 then 1 else -1 end) as b51,
+          sum(case when (h >> 52) & 1 = 1 then 1 else -1 end) as b52,
+          sum(case when (h >> 53) & 1 = 1 then 1 else -1 end) as b53,
+          sum(case when (h >> 54) & 1 = 1 then 1 else -1 end) as b54,
+          sum(case when (h >> 55) & 1 = 1 then 1 else -1 end) as b55,
+          sum(case when (h >> 56) & 1 = 1 then 1 else -1 end) as b56,
+          sum(case when (h >> 57) & 1 = 1 then 1 else -1 end) as b57,
+          sum(case when (h >> 58) & 1 = 1 then 1 else -1 end) as b58,
+          sum(case when (h >> 59) & 1 = 1 then 1 else -1 end) as b59
+          from toks group by doc_id
+        ), sig as (
+          select doc_id, (case when b0 > 0 then (CAST(1 AS BIGINT) << 0) else 0 end) + (case when b1 > 0 then (CAST(1 AS BIGINT) << 1) else 0 end) + (case when b2 > 0 then (CAST(1 AS BIGINT) << 2) else 0 end) + (case when b3 > 0 then (CAST(1 AS BIGINT) << 3) else 0 end) + (case when b4 > 0 then (CAST(1 AS BIGINT) << 4) else 0 end) + (case when b5 > 0 then (CAST(1 AS BIGINT) << 5) else 0 end) + (case when b6 > 0 then (CAST(1 AS BIGINT) << 6) else 0 end) + (case when b7 > 0 then (CAST(1 AS BIGINT) << 7) else 0 end) + (case when b8 > 0 then (CAST(1 AS BIGINT) << 8) else 0 end) + (case when b9 > 0 then (CAST(1 AS BIGINT) << 9) else 0 end) + (case when b10 > 0 then (CAST(1 AS BIGINT) << 10) else 0 end) + (case when b11 > 0 then (CAST(1 AS BIGINT) << 11) else 0 end) + (case when b12 > 0 then (CAST(1 AS BIGINT) << 12) else 0 end) + (case when b13 > 0 then (CAST(1 AS BIGINT) << 13) else 0 end) + (case when b14 > 0 then (CAST(1 AS BIGINT) << 14) else 0 end) + (case when b15 > 0 then (CAST(1 AS BIGINT) << 15) else 0 end) + (case when b16 > 0 then (CAST(1 AS BIGINT) << 16) else 0 end) + (case when b17 > 0 then (CAST(1 AS BIGINT) << 17) else 0 end) + (case when b18 > 0 then (CAST(1 AS BIGINT) << 18) else 0 end) + (case when b19 > 0 then (CAST(1 AS BIGINT) << 19) else 0 end) + (case when b20 > 0 then (CAST(1 AS BIGINT) << 20) else 0 end) + (case when b21 > 0 then (CAST(1 AS BIGINT) << 21) else 0 end) + (case when b22 > 0 then (CAST(1 AS BIGINT) << 22) else 0 end) + (case when b23 > 0 then (CAST(1 AS BIGINT) << 23) else 0 end) + (case when b24 > 0 then (CAST(1 AS BIGINT) << 24) else 0 end) + (case when b25 > 0 then (CAST(1 AS BIGINT) << 25) else 0 end) + (case when b26 > 0 then (CAST(1 AS BIGINT) << 26) else 0 end) + (case when b27 > 0 then (CAST(1 AS BIGINT) << 27) else 0 end) + (case when b28 > 0 then (CAST(1 AS BIGINT) << 28) else 0 end) + (case when b29 > 0 then (CAST(1 AS BIGINT) << 29) else 0 end) + (case when b30 > 0 then (CAST(1 AS BIGINT) << 30) else 0 end) + (case when b31 > 0 then (CAST(1 AS BIGINT) << 31) else 0 end) + (case when b32 > 0 then (CAST(1 AS BIGINT) << 32) else 0 end) + (case when b33 > 0 then (CAST(1 AS BIGINT) << 33) else 0 end) + (case when b34 > 0 then (CAST(1 AS BIGINT) << 34) else 0 end) + (case when b35 > 0 then (CAST(1 AS BIGINT) << 35) else 0 end) + (case when b36 > 0 then (CAST(1 AS BIGINT) << 36) else 0 end) + (case when b37 > 0 then (CAST(1 AS BIGINT) << 37) else 0 end) + (case when b38 > 0 then (CAST(1 AS BIGINT) << 38) else 0 end) + (case when b39 > 0 then (CAST(1 AS BIGINT) << 39) else 0 end) + (case when b40 > 0 then (CAST(1 AS BIGINT) << 40) else 0 end) + (case when b41 > 0 then (CAST(1 AS BIGINT) << 41) else 0 end) + (case when b42 > 0 then (CAST(1 AS BIGINT) << 42) else 0 end) + (case when b43 > 0 then (CAST(1 AS BIGINT) << 43) else 0 end) + (case when b44 > 0 then (CAST(1 AS BIGINT) << 44) else 0 end) + (case when b45 > 0 then (CAST(1 AS BIGINT) << 45) else 0 end) + (case when b46 > 0 then (CAST(1 AS BIGINT) << 46) else 0 end) + (case when b47 > 0 then (CAST(1 AS BIGINT) << 47) else 0 end) + (case when b48 > 0 then (CAST(1 AS BIGINT) << 48) else 0 end) + (case when b49 > 0 then (CAST(1 AS BIGINT) << 49) else 0 end) + (case when b50 > 0 then (CAST(1 AS BIGINT) << 50) else 0 end) + (case when b51 > 0 then (CAST(1 AS BIGINT) << 51) else 0 end) + (case when b52 > 0 then (CAST(1 AS BIGINT) << 52) else 0 end) + (case when b53 > 0 then (CAST(1 AS BIGINT) << 53) else 0 end) + (case when b54 > 0 then (CAST(1 AS BIGINT) << 54) else 0 end) + (case when b55 > 0 then (CAST(1 AS BIGINT) << 55) else 0 end) + (case when b56 > 0 then (CAST(1 AS BIGINT) << 56) else 0 end) + (case when b57 > 0 then (CAST(1 AS BIGINT) << 57) else 0 end) + (case when b58 > 0 then (CAST(1 AS BIGINT) << 58) else 0 end) + (case when b59 > 0 then (CAST(1 AS BIGINT) << 59) else 0 end) as simhash from sums
+        )
+        select doc_id, simhash, band_id,
+               (simhash >> (band_id * 15)) & 32767 as band_key
+        from sig
+        cross join (select unnest([0, 1, 2, 3]) as band_id) bands""",
     "kg_connected_components": _COOC_CTE + """
         , sym as (
           select head as a, tail as b, support from cooc

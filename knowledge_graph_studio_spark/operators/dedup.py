@@ -398,21 +398,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def _token_hash(col, hash_fn: str):
+    """Token-hash families for simhash. "xxhash64" is the production choice
+    (fastest, JVM-native). "md5_60" takes the top 60 bits of standard MD5 —
+    bit-identical between Spark (conv(substr(md5, 1, 15), 16, 10)) and
+    DuckDB (CAST('0x'||substr(md5, 1, 15) AS BIGINT)), which is what lets
+    the contract's simhash entry be value-checked against a SQL oracle."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 63
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 63, hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash over whitespace tokens: bit j of the signature is set iff
-    sum over tokens of sign((xxhash64(token) >> j) & 1) is positive.
-    63 bits to stay in a signed bigint.
+    sum over tokens of sign((hash(token) >> j) & 1) is positive.
+    Default 63 bits of xxhash64 to stay in a signed bigint; pass
+    bits=60, hash_fn="md5_60" for the SQL-oracle-reproducible family.
 
-    Shape: explode tokens -> hash once -> ONE groupBy with 63 literal-shift
-    SUM aggregates (map-side combinable — the scale-correct form; a nested
-    array fold would re-walk the token array 63x per row and can't partial-
-    aggregate)."""
+    Shape: explode tokens -> hash once -> ONE groupBy with per-bit
+    literal-shift SUM aggregates (map-side combinable — the scale-correct
+    form; a nested array fold would re-walk the token array bits-times per
+    row and can't partial-aggregate)."""
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("_t"),
-    ).select("doc_id", F.xxhash64("_t").alias("h"))
+    ).select("doc_id", _token_hash(F.col("_t"), hash_fn).alias("h"))
     sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -432,12 +447,12 @@ def simhash_signatures(
 
 def simhash_buckets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    band_bits: int = 16,
+    band_bits: int = 16, bits: int = 63, hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, simhash, band_id, band_key): docs sharing any 16-bit band of
-    the simhash are near-dup candidates (hamming-distance blocking)."""
-    sig = simhash_signatures(df, id_col, text_col)
-    n_bands = 63 // band_bits + (1 if 63 % band_bits else 0)
+    """(doc_id, simhash, band_id, band_key): docs sharing any band of the
+    simhash are near-dup candidates (hamming-distance blocking)."""
+    sig = simhash_signatures(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    n_bands = bits // band_bits + (1 if bits % band_bits else 0)
     bandcol = F.explode(
         F.array(
             *[
