@@ -659,15 +659,21 @@ def q_kg_pipeline_edges(spark, sf):  # rows-only
         F.concat_ws(",", "chunks").alias("chunks"))
 
 
-def q_minhash_lsh(spark, sf):  # rows-only
-    """MinHash+LSH near-dup candidates (scale path for q_dedup_ngram_jaccard);
-    recall vs exact Jaccard asserted in tests/test_dedup.py."""
+def q_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates (scale path for q_dedup_ngram_jaccard)
+    — ORACLE-PAIRED via the md5_60 hash family and string band keys: the
+    universal-hash minhash (64 mins over (a_i*h+b_i) mod 2^31-1), the
+    banding, the bucket pairing AND the collapse expansion are all
+    value-checked against DuckDB (the production default stays
+    xxhash64/hashed band keys — only the hash family differs). Recall vs
+    exact Jaccard is additionally asserted in tests/test_dedup.py."""
     from .operators.dedup import minhash_lsh_candidates
 
     d = _read(spark, sf, "documents")
     # collapse_exact: production default for crawl corpora (verbatim copies
     # otherwise inflate band buckets k^2-fold — see BENCH_sf16 / dedup.py)
-    return minhash_lsh_candidates(d, collapse_exact=True)
+    return minhash_lsh_candidates(d, collapse_exact=True,
+                                  hash_fn="md5_60", band_key="concat")
 
 
 def q_simhash(spark, sf):
@@ -1115,6 +1121,146 @@ ORACLE_SQL: dict[str, str] = {
                (simhash >> (band_id * 15)) & 32767 as band_key
         from sig
         cross join (select unnest([0, 1, 2, 3]) as band_id) bands""",
+    "minhash_lsh": """
+        with toks as (
+          select doc_id, string_split(text, ' ') as l
+          from documents where text is not null
+        ), sh as (
+          select distinct doc_id, array_to_string(l[i:i+2], '_') as shingle
+          from toks, unnest(range(1, greatest(len(l) - 1, 1))) as t(i)
+        ), hashed as (
+          select doc_id,
+                 CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                 % 2147483647 as h
+          from sh
+        ), sums as (
+          select doc_id,
+          min((h * 1657496063 + 1357401439) % 2147483647) as s0,
+          min((h * 821433261 + 902625397) % 2147483647) as s1,
+          min((h * 997695499 + 376332411) % 2147483647) as s2,
+          min((h * 143048345 + 822191857) % 2147483647) as s3,
+          min((h * 771207895 + 846760279) % 2147483647) as s4,
+          min((h * 125119557 + 1626915117) % 2147483647) as s5,
+          min((h * 1788094051 + 378692595) % 2147483647) as s6,
+          min((h * 934987953 + 198001449) % 2147483647) as s7,
+          min((h * 1804748463 + 929385551) % 2147483647) as s8,
+          min((h * 125550557 + 609085669) % 2147483647) as s9,
+          min((h * 2017468347 + 13917803) % 2147483647) as s10,
+          min((h * 1089666505 + 1098460769) % 2147483647) as s11,
+          min((h * 1287683463 + 1876457031) % 2147483647) as s12,
+          min((h * 354299509 + 297357213) % 2147483647) as s13,
+          min((h * 1922493459 + 1847341027) % 2147483647) as s14,
+          min((h * 623492577 + 1172326553) % 2147483647) as s15,
+          min((h * 368293727 + 1264052031) % 2147483647) as s16,
+          min((h * 916248589 + 803460437) % 2147483647) as s17,
+          min((h * 1673522027 + 1886238811) % 2147483647) as s18,
+          min((h * 2118478073 + 291074513) % 2147483647) as s19,
+          min((h * 1013535799 + 675643191) % 2147483647) as s20,
+          min((h * 769924261 + 1437751821) % 2147483647) as s21,
+          min((h * 1198423491 + 443078611) % 2147483647) as s22,
+          min((h * 815292177 + 876055049) % 2147483647) as s23,
+          min((h * 866825231 + 1398742575) % 2147483647) as s24,
+          min((h * 1108106301 + 1975893445) % 2147483647) as s25,
+          min((h * 811729691 + 1992912459) % 2147483647) as s26,
+          min((h * 1281425449 + 1514762561) % 2147483647) as s27,
+          min((h * 1796028135 + 2000593959) % 2147483647) as s28,
+          min((h * 953808597 + 1509613693) % 2147483647) as s29,
+          min((h * 501603187 + 1877433283) % 2147483647) as s30,
+          min((h * 524921921 + 1046087545) % 2147483647) as s31,
+          min((h * 2066889919 + 2077880607) % 2147483647) as s32,
+          min((h * 4017261 + 1323999797) % 2147483647) as s33,
+          min((h * 22111947 + 657883195) % 2147483647) as s34,
+          min((h * 1978188633 + 229649585) % 2147483647) as s35,
+          min((h * 59188631 + 1443030295) % 2147483647) as s36,
+          min((h * 131251461 + 1063903981) % 2147483647) as s37,
+          min((h * 1938294051 + 1019657139) % 2147483647) as s38,
+          min((h * 222340465 + 999211241) % 2147483647) as s39,
+          min((h * 935678319 + 1189568527) % 2147483647) as s40,
+          min((h * 1247979677 + 1074365093) % 2147483647) as s41,
+          min((h * 444143227 + 113503787) % 2147483647) as s42,
+          min((h * 876589705 + 1152689185) % 2147483647) as s43,
+          min((h * 494018631 + 194068999) % 2147483647) as s44,
+          min((h * 123825973 + 177627485) % 2147483647) as s45,
+          min((h * 1050671827 + 955643811) % 2147483647) as s46,
+          min((h * 490752673 + 1658631769) % 2147483647) as s47,
+          min((h * 2036265503 + 2087086847) % 2147483647) as s48,
+          min((h * 745500877 + 1771659029) % 2147483647) as s49,
+          min((h * 277090859 + 2084616219) % 2147483647) as s50,
+          min((h * 1602801081 + 809359249) % 2147483647) as s51,
+          min((h * 1831413495 + 480819959) % 2147483647) as s52,
+          min((h * 1859718501 + 332880845) % 2147483647) as s53,
+          min((h * 507034755 + 1982074771) % 2147483647) as s54,
+          min((h * 684432337 + 990570441) % 2147483647) as s55,
+          min((h * 1153048271 + 435556847) % 2147483647) as s56,
+          min((h * 353805565 + 2010199941) % 2147483647) as s57,
+          min((h * 2027772379 + 1077665291) % 2147483647) as s58,
+          min((h * 514266345 + 150128385) % 2147483647) as s59,
+          min((h * 1942436263 + 1002983399) % 2147483647) as s60,
+          min((h * 1884067733 + 2000933437) % 2147483647) as s61,
+          min((h * 169691699 + 1337983875) % 2147483647) as s62,
+          min((h * 1881512193 + 178279737) % 2147483647) as s63
+          from hashed group by doc_id
+        ), keys as (
+          select doc_id,
+          concat_ws('_', CAST(s0 AS VARCHAR), CAST(s1 AS VARCHAR), CAST(s2 AS VARCHAR), CAST(s3 AS VARCHAR)) as k0,
+          concat_ws('_', CAST(s4 AS VARCHAR), CAST(s5 AS VARCHAR), CAST(s6 AS VARCHAR), CAST(s7 AS VARCHAR)) as k1,
+          concat_ws('_', CAST(s8 AS VARCHAR), CAST(s9 AS VARCHAR), CAST(s10 AS VARCHAR), CAST(s11 AS VARCHAR)) as k2,
+          concat_ws('_', CAST(s12 AS VARCHAR), CAST(s13 AS VARCHAR), CAST(s14 AS VARCHAR), CAST(s15 AS VARCHAR)) as k3,
+          concat_ws('_', CAST(s16 AS VARCHAR), CAST(s17 AS VARCHAR), CAST(s18 AS VARCHAR), CAST(s19 AS VARCHAR)) as k4,
+          concat_ws('_', CAST(s20 AS VARCHAR), CAST(s21 AS VARCHAR), CAST(s22 AS VARCHAR), CAST(s23 AS VARCHAR)) as k5,
+          concat_ws('_', CAST(s24 AS VARCHAR), CAST(s25 AS VARCHAR), CAST(s26 AS VARCHAR), CAST(s27 AS VARCHAR)) as k6,
+          concat_ws('_', CAST(s28 AS VARCHAR), CAST(s29 AS VARCHAR), CAST(s30 AS VARCHAR), CAST(s31 AS VARCHAR)) as k7,
+          concat_ws('_', CAST(s32 AS VARCHAR), CAST(s33 AS VARCHAR), CAST(s34 AS VARCHAR), CAST(s35 AS VARCHAR)) as k8,
+          concat_ws('_', CAST(s36 AS VARCHAR), CAST(s37 AS VARCHAR), CAST(s38 AS VARCHAR), CAST(s39 AS VARCHAR)) as k9,
+          concat_ws('_', CAST(s40 AS VARCHAR), CAST(s41 AS VARCHAR), CAST(s42 AS VARCHAR), CAST(s43 AS VARCHAR)) as k10,
+          concat_ws('_', CAST(s44 AS VARCHAR), CAST(s45 AS VARCHAR), CAST(s46 AS VARCHAR), CAST(s47 AS VARCHAR)) as k11,
+          concat_ws('_', CAST(s48 AS VARCHAR), CAST(s49 AS VARCHAR), CAST(s50 AS VARCHAR), CAST(s51 AS VARCHAR)) as k12,
+          concat_ws('_', CAST(s52 AS VARCHAR), CAST(s53 AS VARCHAR), CAST(s54 AS VARCHAR), CAST(s55 AS VARCHAR)) as k13,
+          concat_ws('_', CAST(s56 AS VARCHAR), CAST(s57 AS VARCHAR), CAST(s58 AS VARCHAR), CAST(s59 AS VARCHAR)) as k14,
+          concat_ws('_', CAST(s60 AS VARCHAR), CAST(s61 AS VARCHAR), CAST(s62 AS VARCHAR), CAST(s63 AS VARCHAR)) as k15
+          from sums
+        ), banded as (
+          select doc_id, 0 as band_id, k0 as band_hash from keys
+          union all
+          select doc_id, 1 as band_id, k1 as band_hash from keys
+          union all
+          select doc_id, 2 as band_id, k2 as band_hash from keys
+          union all
+          select doc_id, 3 as band_id, k3 as band_hash from keys
+          union all
+          select doc_id, 4 as band_id, k4 as band_hash from keys
+          union all
+          select doc_id, 5 as band_id, k5 as band_hash from keys
+          union all
+          select doc_id, 6 as band_id, k6 as band_hash from keys
+          union all
+          select doc_id, 7 as band_id, k7 as band_hash from keys
+          union all
+          select doc_id, 8 as band_id, k8 as band_hash from keys
+          union all
+          select doc_id, 9 as band_id, k9 as band_hash from keys
+          union all
+          select doc_id, 10 as band_id, k10 as band_hash from keys
+          union all
+          select doc_id, 11 as band_id, k11 as band_hash from keys
+          union all
+          select doc_id, 12 as band_id, k12 as band_hash from keys
+          union all
+          select doc_id, 13 as band_id, k13 as band_hash from keys
+          union all
+          select doc_id, 14 as band_id, k14 as band_hash from keys
+          union all
+          select doc_id, 15 as band_id, k15 as band_hash from keys
+        ), sized as (
+          select band_id, band_hash, count(*) as n
+          from banded group by band_id, band_hash
+          having count(*) between 2 and 200
+        )
+        select distinct a.doc_id as da, b.doc_id as db
+        from banded a
+        join sized s on a.band_id = s.band_id and a.band_hash = s.band_hash
+        join banded b on a.band_id = b.band_id and a.band_hash = b.band_hash
+                     and a.doc_id < b.doc_id""",
     "kg_connected_components": _COOC_CTE + """
         , sym as (
           select head as a, tail as b, support from cooc

@@ -165,15 +165,14 @@ def _expand_rep_pairs(rep_pairs: DataFrame, mem: DataFrame,
     return cross.unionByName(intra)
 
 
-def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(doc_id, sig: array<bigint>[num_hashes]) — universal-hash minhash
-    family over the Mersenne prime p = 2^31 - 1:
-    sig[i] = min over shingles of (a_i * h + b_i) mod p, h = xxhash64 mod p.
+MINHASH_P = (1 << 31) - 1
 
-    The base hash is computed ONCE per shingle row; the k variants are three
-    integer ops each (JVM codegen, products < 2^62 so ANSI-safe), not k string
-    hashes. One groupBy with k parallel MIN aggregates — map-side combinable."""
-    p = (1 << 31) - 1
+
+def minhash_params(num_hashes: int = 64) -> list[tuple[int, int]]:
+    """The deterministic universal-hash family (a_i, b_i) over the Mersenne
+    prime MINHASH_P — module-level so the DuckDB oracle can embed the same
+    constants (driver_contract)."""
+    p = MINHASH_P
     params = []
     s = 0x9E3779B9
     for _ in range(num_hashes):
@@ -182,8 +181,25 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
         s = (s * 1103515245 + 12345) % (1 << 31)
         b = s % p
         params.append((a, b))
+    return params
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 64,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]) — universal-hash minhash
+    family over the Mersenne prime p = 2^31 - 1:
+    sig[i] = min over shingles of (a_i * h + b_i) mod p, h = hash mod p.
+
+    The base hash is computed ONCE per shingle row; the k variants are three
+    integer ops each (JVM codegen, products < 2^62 so ANSI-safe), not k string
+    hashes. One groupBy with k parallel MIN aggregates — map-side combinable.
+    ``hash_fn``: "xxhash64" (production default) or "md5_60" (bit-identical
+    in DuckDB — the oracle-checkable family, see _token_hash)."""
+    p = MINHASH_P
+    params = minhash_params(num_hashes)
     base = shingles.select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(p)).alias("_h"))
+        "doc_id", F.pmod(_token_hash(F.col("shingle"), hash_fn),
+                         F.lit(p)).alias("_h"))
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
@@ -195,27 +211,26 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64) -> DataFrame:
     )
 
 
-def lsh_bands(signatures: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+def lsh_bands(signatures: DataFrame, bands: int = 16, rows: int = 4,
+              band_key: str = "xxhash64") -> DataFrame:
     """Band the signature: (doc_id, band_id, band_hash). bands*rows must equal
-    the signature length."""
+    the signature length. ``band_key``: "xxhash64" compresses the band to a
+    long (cheapest shuffle key, production default); "concat" keeps the raw
+    joined string — equality semantics are identical and the string form is
+    reproducible in SQL (the oracle family)."""
+    def _key(b):
+        joined = F.concat_ws(
+            "_",
+            F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string")))
+        return (F.xxhash64(joined) if band_key == "xxhash64"
+                else joined).alias("band_hash")
+
     out = signatures.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            "_",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
+            F.array(*[F.struct(F.lit(b).alias("band_id"), _key(b))
+                      for b in range(bands)])
         ).alias("bb"),
     )
     return out.select("doc_id", "bb.band_id", "bb.band_hash")
@@ -231,19 +246,25 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     max_bucket: int = 200,
     collapse_exact: bool = False,
+    hash_fn: str = "xxhash64",
+    band_key: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (da < db) via MinHash LSH.
 
     Buckets larger than ``max_bucket`` are dropped (web-scale template-text
     guard; at SF nothing approaches the cap). ``collapse_exact`` dedups
     byte-identical texts first and re-expands pairs afterward (see
-    _collapse_verbatim) — the production default for crawl corpora."""
+    _collapse_verbatim) — the production default for crawl corpora.
+    ``hash_fn``/``band_key``: "md5_60"/"concat" switch both hash stages to
+    the SQL-reproducible family (oracle pairing); bucketing semantics are
+    unchanged."""
     assert bands * rows == num_hashes
     if collapse_exact:
         reps, mem = _collapse_verbatim(df, id_col, text_col)
         rep_pairs = minhash_lsh_candidates(
             reps, id_col, text_col, num_hashes, bands, rows, shingle_k,
-            max_bucket, collapse_exact=False)
+            max_bucket, collapse_exact=False,
+            hash_fn=hash_fn, band_key=band_key)
         # intra pairs only for content the banding could see at all
         # (>= 1 shingle, i.e. >= shingle_k tokens)
         shingled = (token_shingles(reps.filter(F.col("_n") >= 2),
@@ -252,8 +273,8 @@ def minhash_lsh_candidates(
         return _expand_rep_pairs(rep_pairs, mem, shingled, "da", "db") \
             .distinct()
     sh = token_shingles(df, id_col, text_col, k=shingle_k)
-    sig = minhash_signatures(sh, num_hashes=num_hashes)
-    banded = lsh_bands(sig, bands=bands, rows=rows)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, hash_fn=hash_fn)
+    banded = lsh_bands(sig, bands=bands, rows=rows, band_key=band_key)
     buckets = (
         banded.groupBy("band_id", "band_hash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("members"))
