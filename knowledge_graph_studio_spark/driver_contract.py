@@ -341,52 +341,22 @@ def _shingles(df, k: int = 3):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """N-gram (3-token shingle) Jaccard near-dup pairs, J >= 0.5.
-    Scale: inverted-index join on shingle (never O(n^2) docs) behind a
-    hot-shingle document-frequency cap (operators/dedup.cap_shingle_df —
-    broadcast anti-join, dropped shingles logged). The cap (1000) is far
-    above the sf0.01 max df (7), so it never binds here and the DuckDB
-    oracle, which has no cap, still matches; at web scale it is the guard
-    against the f^2 template-shingle pair explosion."""
-    from .operators.dedup import cap_shingle_df
+    """N-gram (3-token shingle) Jaccard near-dup pairs, J >= 0.5 — EXACT,
+    via operators/dedup.ngram_jaccard_pairs: inverted-index join on the
+    64-bit shingle hash (never O(n^2) docs) behind the hot-shingle
+    document-frequency cap (broadcast LEFT ANTI, dropped shingles logged,
+    plan-gated in tests/test_plan_quality.py), with collapse_exact — the
+    production default for crawl corpora: byte-identical texts collapse to
+    one representative before the posting-list self-join and verified pairs
+    expand back (BENCH_sf16: 43.5s -> 9.3s at 16x with identical output).
+    The cap (1000) is far above the sf0.01 max df (7), so it never binds
+    here and the cap-free DuckDB oracle still matches; at web scale it is
+    the guard against the f^2 template-shingle pair explosion."""
+    from .operators.dedup import ngram_jaccard_pairs
 
     d = _read(spark, sf, "documents")
-    # join on the 64-bit shingle hash, not the string: same partitioning, far
-    # cheaper key compare/serialize in the self-join. Collision risk for m
-    # distinct shingles is ~m^2/2^65 (~1e-7 at 10^6 shingles) — the oracle
-    # compare would catch one, and none has ever bound.
-    # Hash BEFORE the cap (the df count per 64-bit hash equals the count per
-    # shingle string modulo ~2^-65 collisions) so the checkpointed blocks and
-    # every downstream join key are longs, then localCheckpoint ONCE, pre-cap:
-    #  * compute-once for the three downstream uses without a CacheManager
-    #    entry to leak in a long-lived session (blocks are GC-reclaimed;
-    #    cache-manager-clean asserted in tests/test_plan_quality.py);
-    #  * the cap's broadcast LEFT ANTI join stays ABOVE the checkpoint, so
-    #    the no-cartesian plan gate still sees it (its broadcast subtree is
-    #    deduped across the three uses by ReuseExchange).
-    # On a real cluster an explicit intermediate table is the durable
-    # equivalent (localCheckpoint doesn't survive executor loss).
-    sh = cap_shingle_df(
-        _shingles(d).select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .localCheckpoint(eager=False),
-        max_df=1000,
-    )
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    return (
-        common.join(sa, "da").join(sb, "db")
-        .filter(F.col("common") * 2 >= (F.col("na") + F.col("nb") - F.col("common")))
-        .select("da", "db", "common",
-                (F.col("na") + F.col("nb") - F.col("common")).alias("union_size"))
-    )
+    return ngram_jaccard_pairs(d, jaccard_threshold=0.5, max_shingle_df=1000,
+                               collapse_exact=True)
 
 
 def q_embedding_neardup(spark, sf):
