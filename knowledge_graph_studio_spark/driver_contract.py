@@ -9,9 +9,13 @@ Contract rules honored here:
   * every aggregate/computed column is aliased identically in Spark and SQL;
   * outputs avoid raw floats (integer cents / counts / md5 strings) so the
     driver's order-insensitive value-hash is bit-stable across engines;
-  * queries marked ``# rows-only`` have no SQL oracle (non-SQL-expressible:
-    iterative CC, MinHash banding, pipeline ops on the synthetic corpus) — the
+  * queries marked ``# rows-only`` have no SQL oracle — only the genuinely
+    non-SQL-expressible remain (float-geometry ANN over numpy hyperplanes,
+    and ops over the synthetic-pages corpus DuckDB cannot regenerate); the
     driver records the weaker rows-only check, and pytest covers their laws.
+    Iterative CC, SimHash and the full MinHash+LSH chain ARE oracle-paired
+    (recursive-CTE closure; the md5_60 hash family both engines compute
+    bit-identically).
 
 Scale notes are inline per query: what broadcasts, what shuffles, what the
 plan must push down.
