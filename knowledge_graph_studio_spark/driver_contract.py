@@ -1020,221 +1020,6 @@ ORACLE_SQL: dict[str, str] = {
         select name, count(*) as degree,
                cast(sum(support) as bigint) as support_sum
         from ends group by name""",
-    "simhash": """
-        with toks as (
-          select doc_id,
-                 CAST(concat('0x', substr(md5(unnest(string_split(text, ' '))), 1, 15)) AS BIGINT) as h
-          from documents
-        ), sums as (
-          select doc_id,
-          sum(case when (h >> 0) & 1 = 1 then 1 else -1 end) as b0,
-          sum(case when (h >> 1) & 1 = 1 then 1 else -1 end) as b1,
-          sum(case when (h >> 2) & 1 = 1 then 1 else -1 end) as b2,
-          sum(case when (h >> 3) & 1 = 1 then 1 else -1 end) as b3,
-          sum(case when (h >> 4) & 1 = 1 then 1 else -1 end) as b4,
-          sum(case when (h >> 5) & 1 = 1 then 1 else -1 end) as b5,
-          sum(case when (h >> 6) & 1 = 1 then 1 else -1 end) as b6,
-          sum(case when (h >> 7) & 1 = 1 then 1 else -1 end) as b7,
-          sum(case when (h >> 8) & 1 = 1 then 1 else -1 end) as b8,
-          sum(case when (h >> 9) & 1 = 1 then 1 else -1 end) as b9,
-          sum(case when (h >> 10) & 1 = 1 then 1 else -1 end) as b10,
-          sum(case when (h >> 11) & 1 = 1 then 1 else -1 end) as b11,
-          sum(case when (h >> 12) & 1 = 1 then 1 else -1 end) as b12,
-          sum(case when (h >> 13) & 1 = 1 then 1 else -1 end) as b13,
-          sum(case when (h >> 14) & 1 = 1 then 1 else -1 end) as b14,
-          sum(case when (h >> 15) & 1 = 1 then 1 else -1 end) as b15,
-          sum(case when (h >> 16) & 1 = 1 then 1 else -1 end) as b16,
-          sum(case when (h >> 17) & 1 = 1 then 1 else -1 end) as b17,
-          sum(case when (h >> 18) & 1 = 1 then 1 else -1 end) as b18,
-          sum(case when (h >> 19) & 1 = 1 then 1 else -1 end) as b19,
-          sum(case when (h >> 20) & 1 = 1 then 1 else -1 end) as b20,
-          sum(case when (h >> 21) & 1 = 1 then 1 else -1 end) as b21,
-          sum(case when (h >> 22) & 1 = 1 then 1 else -1 end) as b22,
-          sum(case when (h >> 23) & 1 = 1 then 1 else -1 end) as b23,
-          sum(case when (h >> 24) & 1 = 1 then 1 else -1 end) as b24,
-          sum(case when (h >> 25) & 1 = 1 then 1 else -1 end) as b25,
-          sum(case when (h >> 26) & 1 = 1 then 1 else -1 end) as b26,
-          sum(case when (h >> 27) & 1 = 1 then 1 else -1 end) as b27,
-          sum(case when (h >> 28) & 1 = 1 then 1 else -1 end) as b28,
-          sum(case when (h >> 29) & 1 = 1 then 1 else -1 end) as b29,
-          sum(case when (h >> 30) & 1 = 1 then 1 else -1 end) as b30,
-          sum(case when (h >> 31) & 1 = 1 then 1 else -1 end) as b31,
-          sum(case when (h >> 32) & 1 = 1 then 1 else -1 end) as b32,
-          sum(case when (h >> 33) & 1 = 1 then 1 else -1 end) as b33,
-          sum(case when (h >> 34) & 1 = 1 then 1 else -1 end) as b34,
-          sum(case when (h >> 35) & 1 = 1 then 1 else -1 end) as b35,
-          sum(case when (h >> 36) & 1 = 1 then 1 else -1 end) as b36,
-          sum(case when (h >> 37) & 1 = 1 then 1 else -1 end) as b37,
-          sum(case when (h >> 38) & 1 = 1 then 1 else -1 end) as b38,
-          sum(case when (h >> 39) & 1 = 1 then 1 else -1 end) as b39,
-          sum(case when (h >> 40) & 1 = 1 then 1 else -1 end) as b40,
-          sum(case when (h >> 41) & 1 = 1 then 1 else -1 end) as b41,
-          sum(case when (h >> 42) & 1 = 1 then 1 else -1 end) as b42,
-          sum(case when (h >> 43) & 1 = 1 then 1 else -1 end) as b43,
-          sum(case when (h >> 44) & 1 = 1 then 1 else -1 end) as b44,
-          sum(case when (h >> 45) & 1 = 1 then 1 else -1 end) as b45,
-          sum(case when (h >> 46) & 1 = 1 then 1 else -1 end) as b46,
-          sum(case when (h >> 47) & 1 = 1 then 1 else -1 end) as b47,
-          sum(case when (h >> 48) & 1 = 1 then 1 else -1 end) as b48,
-          sum(case when (h >> 49) & 1 = 1 then 1 else -1 end) as b49,
-          sum(case when (h >> 50) & 1 = 1 then 1 else -1 end) as b50,
-          sum(case when (h >> 51) & 1 = 1 then 1 else -1 end) as b51,
-          sum(case when (h >> 52) & 1 = 1 then 1 else -1 end) as b52,
-          sum(case when (h >> 53) & 1 = 1 then 1 else -1 end) as b53,
-          sum(case when (h >> 54) & 1 = 1 then 1 else -1 end) as b54,
-          sum(case when (h >> 55) & 1 = 1 then 1 else -1 end) as b55,
-          sum(case when (h >> 56) & 1 = 1 then 1 else -1 end) as b56,
-          sum(case when (h >> 57) & 1 = 1 then 1 else -1 end) as b57,
-          sum(case when (h >> 58) & 1 = 1 then 1 else -1 end) as b58,
-          sum(case when (h >> 59) & 1 = 1 then 1 else -1 end) as b59
-          from toks group by doc_id
-        ), sig as (
-          select doc_id, (case when b0 > 0 then (CAST(1 AS BIGINT) << 0) else 0 end) + (case when b1 > 0 then (CAST(1 AS BIGINT) << 1) else 0 end) + (case when b2 > 0 then (CAST(1 AS BIGINT) << 2) else 0 end) + (case when b3 > 0 then (CAST(1 AS BIGINT) << 3) else 0 end) + (case when b4 > 0 then (CAST(1 AS BIGINT) << 4) else 0 end) + (case when b5 > 0 then (CAST(1 AS BIGINT) << 5) else 0 end) + (case when b6 > 0 then (CAST(1 AS BIGINT) << 6) else 0 end) + (case when b7 > 0 then (CAST(1 AS BIGINT) << 7) else 0 end) + (case when b8 > 0 then (CAST(1 AS BIGINT) << 8) else 0 end) + (case when b9 > 0 then (CAST(1 AS BIGINT) << 9) else 0 end) + (case when b10 > 0 then (CAST(1 AS BIGINT) << 10) else 0 end) + (case when b11 > 0 then (CAST(1 AS BIGINT) << 11) else 0 end) + (case when b12 > 0 then (CAST(1 AS BIGINT) << 12) else 0 end) + (case when b13 > 0 then (CAST(1 AS BIGINT) << 13) else 0 end) + (case when b14 > 0 then (CAST(1 AS BIGINT) << 14) else 0 end) + (case when b15 > 0 then (CAST(1 AS BIGINT) << 15) else 0 end) + (case when b16 > 0 then (CAST(1 AS BIGINT) << 16) else 0 end) + (case when b17 > 0 then (CAST(1 AS BIGINT) << 17) else 0 end) + (case when b18 > 0 then (CAST(1 AS BIGINT) << 18) else 0 end) + (case when b19 > 0 then (CAST(1 AS BIGINT) << 19) else 0 end) + (case when b20 > 0 then (CAST(1 AS BIGINT) << 20) else 0 end) + (case when b21 > 0 then (CAST(1 AS BIGINT) << 21) else 0 end) + (case when b22 > 0 then (CAST(1 AS BIGINT) << 22) else 0 end) + (case when b23 > 0 then (CAST(1 AS BIGINT) << 23) else 0 end) + (case when b24 > 0 then (CAST(1 AS BIGINT) << 24) else 0 end) + (case when b25 > 0 then (CAST(1 AS BIGINT) << 25) else 0 end) + (case when b26 > 0 then (CAST(1 AS BIGINT) << 26) else 0 end) + (case when b27 > 0 then (CAST(1 AS BIGINT) << 27) else 0 end) + (case when b28 > 0 then (CAST(1 AS BIGINT) << 28) else 0 end) + (case when b29 > 0 then (CAST(1 AS BIGINT) << 29) else 0 end) + (case when b30 > 0 then (CAST(1 AS BIGINT) << 30) else 0 end) + (case when b31 > 0 then (CAST(1 AS BIGINT) << 31) else 0 end) + (case when b32 > 0 then (CAST(1 AS BIGINT) << 32) else 0 end) + (case when b33 > 0 then (CAST(1 AS BIGINT) << 33) else 0 end) + (case when b34 > 0 then (CAST(1 AS BIGINT) << 34) else 0 end) + (case when b35 > 0 then (CAST(1 AS BIGINT) << 35) else 0 end) + (case when b36 > 0 then (CAST(1 AS BIGINT) << 36) else 0 end) + (case when b37 > 0 then (CAST(1 AS BIGINT) << 37) else 0 end) + (case when b38 > 0 then (CAST(1 AS BIGINT) << 38) else 0 end) + (case when b39 > 0 then (CAST(1 AS BIGINT) << 39) else 0 end) + (case when b40 > 0 then (CAST(1 AS BIGINT) << 40) else 0 end) + (case when b41 > 0 then (CAST(1 AS BIGINT) << 41) else 0 end) + (case when b42 > 0 then (CAST(1 AS BIGINT) << 42) else 0 end) + (case when b43 > 0 then (CAST(1 AS BIGINT) << 43) else 0 end) + (case when b44 > 0 then (CAST(1 AS BIGINT) << 44) else 0 end) + (case when b45 > 0 then (CAST(1 AS BIGINT) << 45) else 0 end) + (case when b46 > 0 then (CAST(1 AS BIGINT) << 46) else 0 end) + (case when b47 > 0 then (CAST(1 AS BIGINT) << 47) else 0 end) + (case when b48 > 0 then (CAST(1 AS BIGINT) << 48) else 0 end) + (case when b49 > 0 then (CAST(1 AS BIGINT) << 49) else 0 end) + (case when b50 > 0 then (CAST(1 AS BIGINT) << 50) else 0 end) + (case when b51 > 0 then (CAST(1 AS BIGINT) << 51) else 0 end) + (case when b52 > 0 then (CAST(1 AS BIGINT) << 52) else 0 end) + (case when b53 > 0 then (CAST(1 AS BIGINT) << 53) else 0 end) + (case when b54 > 0 then (CAST(1 AS BIGINT) << 54) else 0 end) + (case when b55 > 0 then (CAST(1 AS BIGINT) << 55) else 0 end) + (case when b56 > 0 then (CAST(1 AS BIGINT) << 56) else 0 end) + (case when b57 > 0 then (CAST(1 AS BIGINT) << 57) else 0 end) + (case when b58 > 0 then (CAST(1 AS BIGINT) << 58) else 0 end) + (case when b59 > 0 then (CAST(1 AS BIGINT) << 59) else 0 end) as simhash from sums
-        )
-        select doc_id, simhash, band_id,
-               (simhash >> (band_id * 15)) & 32767 as band_key
-        from sig
-        cross join (select unnest([0, 1, 2, 3]) as band_id) bands""",
-    "minhash_lsh": """
-        with toks as (
-          select doc_id, string_split(text, ' ') as l
-          from documents where text is not null
-        ), sh as (
-          select distinct doc_id, array_to_string(l[i:i+2], '_') as shingle
-          from toks, unnest(range(1, greatest(len(l) - 1, 1))) as t(i)
-        ), hashed as (
-          select doc_id,
-                 CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
-                 % 2147483647 as h
-          from sh
-        ), sums as (
-          select doc_id,
-          min((h * 1657496063 + 1357401439) % 2147483647) as s0,
-          min((h * 821433261 + 902625397) % 2147483647) as s1,
-          min((h * 997695499 + 376332411) % 2147483647) as s2,
-          min((h * 143048345 + 822191857) % 2147483647) as s3,
-          min((h * 771207895 + 846760279) % 2147483647) as s4,
-          min((h * 125119557 + 1626915117) % 2147483647) as s5,
-          min((h * 1788094051 + 378692595) % 2147483647) as s6,
-          min((h * 934987953 + 198001449) % 2147483647) as s7,
-          min((h * 1804748463 + 929385551) % 2147483647) as s8,
-          min((h * 125550557 + 609085669) % 2147483647) as s9,
-          min((h * 2017468347 + 13917803) % 2147483647) as s10,
-          min((h * 1089666505 + 1098460769) % 2147483647) as s11,
-          min((h * 1287683463 + 1876457031) % 2147483647) as s12,
-          min((h * 354299509 + 297357213) % 2147483647) as s13,
-          min((h * 1922493459 + 1847341027) % 2147483647) as s14,
-          min((h * 623492577 + 1172326553) % 2147483647) as s15,
-          min((h * 368293727 + 1264052031) % 2147483647) as s16,
-          min((h * 916248589 + 803460437) % 2147483647) as s17,
-          min((h * 1673522027 + 1886238811) % 2147483647) as s18,
-          min((h * 2118478073 + 291074513) % 2147483647) as s19,
-          min((h * 1013535799 + 675643191) % 2147483647) as s20,
-          min((h * 769924261 + 1437751821) % 2147483647) as s21,
-          min((h * 1198423491 + 443078611) % 2147483647) as s22,
-          min((h * 815292177 + 876055049) % 2147483647) as s23,
-          min((h * 866825231 + 1398742575) % 2147483647) as s24,
-          min((h * 1108106301 + 1975893445) % 2147483647) as s25,
-          min((h * 811729691 + 1992912459) % 2147483647) as s26,
-          min((h * 1281425449 + 1514762561) % 2147483647) as s27,
-          min((h * 1796028135 + 2000593959) % 2147483647) as s28,
-          min((h * 953808597 + 1509613693) % 2147483647) as s29,
-          min((h * 501603187 + 1877433283) % 2147483647) as s30,
-          min((h * 524921921 + 1046087545) % 2147483647) as s31,
-          min((h * 2066889919 + 2077880607) % 2147483647) as s32,
-          min((h * 4017261 + 1323999797) % 2147483647) as s33,
-          min((h * 22111947 + 657883195) % 2147483647) as s34,
-          min((h * 1978188633 + 229649585) % 2147483647) as s35,
-          min((h * 59188631 + 1443030295) % 2147483647) as s36,
-          min((h * 131251461 + 1063903981) % 2147483647) as s37,
-          min((h * 1938294051 + 1019657139) % 2147483647) as s38,
-          min((h * 222340465 + 999211241) % 2147483647) as s39,
-          min((h * 935678319 + 1189568527) % 2147483647) as s40,
-          min((h * 1247979677 + 1074365093) % 2147483647) as s41,
-          min((h * 444143227 + 113503787) % 2147483647) as s42,
-          min((h * 876589705 + 1152689185) % 2147483647) as s43,
-          min((h * 494018631 + 194068999) % 2147483647) as s44,
-          min((h * 123825973 + 177627485) % 2147483647) as s45,
-          min((h * 1050671827 + 955643811) % 2147483647) as s46,
-          min((h * 490752673 + 1658631769) % 2147483647) as s47,
-          min((h * 2036265503 + 2087086847) % 2147483647) as s48,
-          min((h * 745500877 + 1771659029) % 2147483647) as s49,
-          min((h * 277090859 + 2084616219) % 2147483647) as s50,
-          min((h * 1602801081 + 809359249) % 2147483647) as s51,
-          min((h * 1831413495 + 480819959) % 2147483647) as s52,
-          min((h * 1859718501 + 332880845) % 2147483647) as s53,
-          min((h * 507034755 + 1982074771) % 2147483647) as s54,
-          min((h * 684432337 + 990570441) % 2147483647) as s55,
-          min((h * 1153048271 + 435556847) % 2147483647) as s56,
-          min((h * 353805565 + 2010199941) % 2147483647) as s57,
-          min((h * 2027772379 + 1077665291) % 2147483647) as s58,
-          min((h * 514266345 + 150128385) % 2147483647) as s59,
-          min((h * 1942436263 + 1002983399) % 2147483647) as s60,
-          min((h * 1884067733 + 2000933437) % 2147483647) as s61,
-          min((h * 169691699 + 1337983875) % 2147483647) as s62,
-          min((h * 1881512193 + 178279737) % 2147483647) as s63
-          from hashed group by doc_id
-        ), keys as (
-          select doc_id,
-          concat_ws('_', CAST(s0 AS VARCHAR), CAST(s1 AS VARCHAR), CAST(s2 AS VARCHAR), CAST(s3 AS VARCHAR)) as k0,
-          concat_ws('_', CAST(s4 AS VARCHAR), CAST(s5 AS VARCHAR), CAST(s6 AS VARCHAR), CAST(s7 AS VARCHAR)) as k1,
-          concat_ws('_', CAST(s8 AS VARCHAR), CAST(s9 AS VARCHAR), CAST(s10 AS VARCHAR), CAST(s11 AS VARCHAR)) as k2,
-          concat_ws('_', CAST(s12 AS VARCHAR), CAST(s13 AS VARCHAR), CAST(s14 AS VARCHAR), CAST(s15 AS VARCHAR)) as k3,
-          concat_ws('_', CAST(s16 AS VARCHAR), CAST(s17 AS VARCHAR), CAST(s18 AS VARCHAR), CAST(s19 AS VARCHAR)) as k4,
-          concat_ws('_', CAST(s20 AS VARCHAR), CAST(s21 AS VARCHAR), CAST(s22 AS VARCHAR), CAST(s23 AS VARCHAR)) as k5,
-          concat_ws('_', CAST(s24 AS VARCHAR), CAST(s25 AS VARCHAR), CAST(s26 AS VARCHAR), CAST(s27 AS VARCHAR)) as k6,
-          concat_ws('_', CAST(s28 AS VARCHAR), CAST(s29 AS VARCHAR), CAST(s30 AS VARCHAR), CAST(s31 AS VARCHAR)) as k7,
-          concat_ws('_', CAST(s32 AS VARCHAR), CAST(s33 AS VARCHAR), CAST(s34 AS VARCHAR), CAST(s35 AS VARCHAR)) as k8,
-          concat_ws('_', CAST(s36 AS VARCHAR), CAST(s37 AS VARCHAR), CAST(s38 AS VARCHAR), CAST(s39 AS VARCHAR)) as k9,
-          concat_ws('_', CAST(s40 AS VARCHAR), CAST(s41 AS VARCHAR), CAST(s42 AS VARCHAR), CAST(s43 AS VARCHAR)) as k10,
-          concat_ws('_', CAST(s44 AS VARCHAR), CAST(s45 AS VARCHAR), CAST(s46 AS VARCHAR), CAST(s47 AS VARCHAR)) as k11,
-          concat_ws('_', CAST(s48 AS VARCHAR), CAST(s49 AS VARCHAR), CAST(s50 AS VARCHAR), CAST(s51 AS VARCHAR)) as k12,
-          concat_ws('_', CAST(s52 AS VARCHAR), CAST(s53 AS VARCHAR), CAST(s54 AS VARCHAR), CAST(s55 AS VARCHAR)) as k13,
-          concat_ws('_', CAST(s56 AS VARCHAR), CAST(s57 AS VARCHAR), CAST(s58 AS VARCHAR), CAST(s59 AS VARCHAR)) as k14,
-          concat_ws('_', CAST(s60 AS VARCHAR), CAST(s61 AS VARCHAR), CAST(s62 AS VARCHAR), CAST(s63 AS VARCHAR)) as k15
-          from sums
-        ), banded as (
-          select doc_id, 0 as band_id, k0 as band_hash from keys
-          union all
-          select doc_id, 1 as band_id, k1 as band_hash from keys
-          union all
-          select doc_id, 2 as band_id, k2 as band_hash from keys
-          union all
-          select doc_id, 3 as band_id, k3 as band_hash from keys
-          union all
-          select doc_id, 4 as band_id, k4 as band_hash from keys
-          union all
-          select doc_id, 5 as band_id, k5 as band_hash from keys
-          union all
-          select doc_id, 6 as band_id, k6 as band_hash from keys
-          union all
-          select doc_id, 7 as band_id, k7 as band_hash from keys
-          union all
-          select doc_id, 8 as band_id, k8 as band_hash from keys
-          union all
-          select doc_id, 9 as band_id, k9 as band_hash from keys
-          union all
-          select doc_id, 10 as band_id, k10 as band_hash from keys
-          union all
-          select doc_id, 11 as band_id, k11 as band_hash from keys
-          union all
-          select doc_id, 12 as band_id, k12 as band_hash from keys
-          union all
-          select doc_id, 13 as band_id, k13 as band_hash from keys
-          union all
-          select doc_id, 14 as band_id, k14 as band_hash from keys
-          union all
-          select doc_id, 15 as band_id, k15 as band_hash from keys
-        ), sized as (
-          select band_id, band_hash, count(*) as n
-          from banded group by band_id, band_hash
-          having count(*) between 2 and 200
-        )
-        select distinct a.doc_id as da, b.doc_id as db
-        from banded a
-        join sized s on a.band_id = s.band_id and a.band_hash = s.band_hash
-        join banded b on a.band_id = b.band_id and a.band_hash = b.band_hash
-                     and a.doc_id < b.doc_id""",
     "kg_connected_components": _COOC_CTE + """
         , sym as (
           select head as a, tail as b, support from cooc
@@ -1276,3 +1061,91 @@ def flagship_entry(spark: SparkSession) -> DataFrame:
     """Driver smoke check: KG-analog construction over the driver's sf0.001
     documents table — mentions -> co-occurrence triples -> compressed graph."""
     return q_kg_cooccurrence(spark, "/root/testdata/sf0.001")
+
+
+def _simhash_oracle_sql(bits: int = 60, band_bits: int = 15) -> str:
+    """SimHash oracle over the md5_60 family — generated from the same
+    parameters the Spark query uses, so the two can never drift."""
+    sums = ",\n          ".join(
+        f"sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) as b{j}"
+        for j in range(bits))
+    sig = " + ".join(
+        f"(case when b{j} > 0 then (CAST(1 AS BIGINT) << {j}) else 0 end)"
+        for j in range(bits))
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    bands = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+        with toks as (
+          select doc_id,
+                 CAST(concat('0x', substr(md5(unnest(string_split(text, ' '))), 1, 15)) AS BIGINT) as h
+          from documents
+        ), sums as (
+          select doc_id,
+          {sums}
+          from toks group by doc_id
+        ), sig as (
+          select doc_id, {sig} as simhash from sums
+        )
+        select doc_id, simhash, band_id,
+               (simhash >> (band_id * {band_bits})) & {mask} as band_key
+        from sig
+        cross join (select unnest([{bands}]) as band_id) bands"""
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                        rows: int = 4, max_bucket: int = 200) -> str:
+    """MinHash+LSH oracle — the (a_i, b_i) universal-hash constants come
+    from operators.dedup.minhash_params, the same function the Spark
+    operator uses, so the SQL is regenerated on import and cannot
+    desynchronize from the engine."""
+    from .operators.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(num_hashes)
+    mins = ",\n          ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) as s{i}"
+        for i, (a, b) in enumerate(params))
+    band_keys = ",\n          ".join(
+        "concat_ws('_', "
+        + ", ".join(f"CAST(s{rows * b + j} AS VARCHAR)" for j in range(rows))
+        + f") as k{b}"
+        for b in range(bands))
+    band_rows = "\n          union all\n          ".join(
+        f"select doc_id, {b} as band_id, k{b} as band_hash from keys"
+        for b in range(bands))
+    return f"""
+        with toks as (
+          select doc_id, string_split(text, ' ') as l
+          from documents where text is not null
+        ), sh as (
+          select distinct doc_id, array_to_string(l[i:i+2], '_') as shingle
+          from toks, unnest(range(1, greatest(len(l) - 1, 1))) as t(i)
+        ), hashed as (
+          select doc_id,
+                 CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                 % {MINHASH_P} as h
+          from sh
+        ), sums as (
+          select doc_id,
+          {mins}
+          from hashed group by doc_id
+        ), keys as (
+          select doc_id,
+          {band_keys}
+          from sums
+        ), banded as (
+          {band_rows}
+        ), sized as (
+          select band_id, band_hash, count(*) as n
+          from banded group by band_id, band_hash
+          having count(*) between 2 and {max_bucket}
+        )
+        select distinct a.doc_id as da, b.doc_id as db
+        from banded a
+        join sized s on a.band_id = s.band_id and a.band_hash = s.band_hash
+        join banded b on a.band_id = b.band_id and a.band_hash = b.band_hash
+                     and a.doc_id < b.doc_id"""
+
+
+ORACLE_SQL["simhash"] = _simhash_oracle_sql()
+ORACLE_SQL["minhash_lsh"] = _minhash_oracle_sql()
