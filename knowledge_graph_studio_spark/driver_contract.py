@@ -506,6 +506,69 @@ def q_kg_verbalize(spark, sf):
         "head", "tail", "verbalized")
 
 
+def _hashed_query_vector(query: str, dim: int = 1024):
+    """Driver-side sparse (bucket, value) vector for a constant query string
+    under the md5_60 hashing-trick family — the same arithmetic the Spark
+    Column expressions and the DuckDB oracle apply to edge texts, computed
+    once here and embedded as literals in BOTH (shared constants, like
+    minhash_params)."""
+    import hashlib
+    import re as _re
+
+    qv: dict[int, int] = {}
+    for tok in _re.findall(r"[a-z0-9]+", query.lower()):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        qv[h % dim] = qv.get(h % dim, 0) + (1 if (h >> 59) & 1 else -1)
+    qv = {b: v for b, v in qv.items() if v}
+    nq = sum(v * v for v in qv.values())
+    return sorted(qv.items()), nq
+
+
+_TOPK_QUERY = "spark which is a term cooccurs with join, a term"
+_TOPK_DIM = 1024
+
+
+def q_kg_triple_topk_hashed(spark, sf):
+    """Q9 triple vector top-k, VALUE-VERIFIED end-to-end: verbalized cooc
+    edges embedded with the md5_60 hashing-trick family as sparse INTEGER
+    bucket counts (pure Column ops — token -> bucket = md5_60 % dim, sign =
+    bit 59), cosine from exact integer dot/norms so the double arithmetic
+    (one multiply, one sqrt, one divide over exact ints) is IEEE-identical
+    in DuckDB, top-10 with deterministic tie-break. The float V2 embedder
+    path stays covered by kg_triple_topk (rows-only) and the embedder
+    determinism tests."""
+    from .functions.literals import literal_df
+
+    qv, nq = _hashed_query_vector(_TOPK_QUERY, _TOPK_DIM)
+    t = q_kg_cooccurrence(spark, sf)
+    verb = t.select(
+        "head", "tail",
+        F.concat(F.col("head"), F.lit(" which is a term cooccurs with "),
+                 F.col("tail"), F.lit(", a term")).alias("text"))
+    tok = verb.select(
+        "head", "tail",
+        F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    kv = tok.select(
+        "head", "tail", F.pmod(h, F.lit(_TOPK_DIM)).alias("bucket"),
+        F.when(F.shiftright(h, 59).bitwiseAND(F.lit(1)) == 1,
+               F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+    vec = kv.groupBy("head", "tail", "bucket").agg(F.sum("s").alias("v"))
+    na = vec.groupBy("head", "tail").agg(F.sum(F.col("v") * F.col("v")).alias("na"))
+    q_df = F.broadcast(literal_df(spark, [(b, v) for b, v in qv],
+                                  ["bucket", "qv"]))
+    dot = (vec.join(q_df, "bucket")
+           .groupBy("head", "tail")
+           .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
+    scored = dot.join(na, ["head", "tail"]).withColumn(
+        "score",
+        F.col("dot").cast("double")
+        / F.sqrt((F.col("na") * F.lit(nq)).cast("double")))
+    return (scored.orderBy(F.desc("score"), F.asc("head"), F.asc("tail"))
+            .limit(10).select("head", "tail"))
+
+
 # --------------------------------------------------------------------------- #
 # Rows-only entries (non-SQL-expressible: pipeline over synthetic pages, LSH)
 # --------------------------------------------------------------------------- #
@@ -782,6 +845,7 @@ QUERIES: dict[str, _T] = {
     "compress_triples": q_compress_triples,
     "kg_verbalize": q_kg_verbalize,
     "kg_triple_topk": q_kg_triple_topk,
+    "kg_triple_topk_hashed": q_kg_triple_topk_hashed,
     "kg_query_structured": q_kg_query_structured,
     "kg_query_text": q_kg_query_text,
     "kg_chapters": q_kg_chapters,
@@ -1149,3 +1213,42 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
 
 ORACLE_SQL["simhash"] = _simhash_oracle_sql()
 ORACLE_SQL["minhash_lsh"] = _minhash_oracle_sql()
+
+
+def _topk_hashed_oracle_sql() -> str:
+    """Q9 hashed top-k oracle — the query-vector literals and norm come from
+    _hashed_query_vector, identical to the Spark side."""
+    qv, nq = _hashed_query_vector(_TOPK_QUERY, _TOPK_DIM)
+    vals = ", ".join(f"({b}, {v})" for b, v in qv)
+    return _COOC_CTE + f"""
+        , verb as (
+          select head, tail,
+                 head || ' which is a term cooccurs with ' || tail || ', a term' as text
+          from cooc
+        ), tok as (
+          select head, tail,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as tok
+          from verb
+        ), kv as (
+          select head, tail,
+                 CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) as h
+          from tok
+        ), vec as (
+          select head, tail, h % {_TOPK_DIM} as bucket,
+                 sum(case when (h >> 59) & 1 = 1 then 1 else -1 end) as v
+          from kv group by head, tail, bucket
+        ), na as (
+          select head, tail, sum(v * v) as na from vec group by head, tail
+        ), q(bucket, qv) as (values {vals}),
+        dot as (
+          select vec.head, vec.tail, sum(vec.v * q.qv) as dot
+          from vec join q using (bucket) group by vec.head, vec.tail
+        )
+        select d.head, d.tail
+        from dot d join na using (head, tail)
+        order by CAST(dot AS DOUBLE) / sqrt(CAST(na * {nq} AS DOUBLE)) desc,
+                 head, tail
+        limit 10"""
+
+
+ORACLE_SQL["kg_triple_topk_hashed"] = _topk_hashed_oracle_sql()
