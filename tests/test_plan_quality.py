@@ -128,3 +128,20 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     # "*(n)" prefixes mark WholeStageCodegen spans in the plan string; both
     # the partial and final HashAggregate must be inside one
     assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_hashed_topk_broadcasts_query_vector(spark, sf_dir):
+    """The Q9 hashed top-k's query-vector join must broadcast the literal
+    bucket list (never shuffle the edge vectors against 12 rows) and the
+    collapse expansion joins must never degenerate to cartesian products."""
+    from knowledge_graph_studio_spark.driver_contract import (
+        q_dedup_ngram_jaccard, q_kg_triple_topk_hashed,
+    )
+
+    plan = _plan(q_kg_triple_topk_hashed(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan2 = _plan(q_dedup_ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
