@@ -569,6 +569,57 @@ def q_kg_triple_topk_hashed(spark, sf):
             .limit(10).select("head", "tail"))
 
 
+def q_kg_query_text_hashed(spark, sf):
+    """Entry C TEXT path value-verified stage by stage through the REAL plan
+    operators: Q11 structured_filter (broadcast OR-semi-join) -> hashed-
+    embedding cosine top-8 over the verbalized survivors (md5_60 integer
+    buckets, IEEE-identical scoring — same family as kg_triple_topk_hashed)
+    -> Q13 relevance_filter (the real token-overlap operator) -> Q12
+    hydrate_triples. The float-embedder + ANN-index variant of this path
+    stays covered by kg_query_text (rows-only) and the recall tests."""
+    from .functions.literals import literal_df
+    from .plans.query import hydrate_triples, relevance_filter, structured_filter
+
+    qv, nq = _hashed_query_vector(_TOPK_QUERY, _TOPK_DIM)
+    nodes, edges = _cooc_graph(spark, sf)
+    filtered = structured_filter(
+        nodes, edges, entities=["term"],
+        values=["spark", "join", "sort", "vector", "hash", "window"],
+        relations=["cooccurs_with"])
+    verb = filtered.withColumn(
+        "verbalized",
+        F.concat(F.col("head"), F.lit(" which is a term cooccurs with "),
+                 F.col("tail"), F.lit(", a term")))
+    tok = verb.select(
+        "edge_id",
+        F.explode(F.expr(
+            "regexp_extract_all(lower(verbalized), '[a-z0-9]+', 0)"))
+        .alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    kv = tok.select(
+        "edge_id", F.pmod(h, F.lit(_TOPK_DIM)).alias("bucket"),
+        F.when(F.shiftright(h, 59).bitwiseAND(F.lit(1)) == 1,
+               F.lit(1)).otherwise(F.lit(-1)).alias("s"))
+    vec = kv.groupBy("edge_id", "bucket").agg(F.sum("s").alias("v"))
+    na = vec.groupBy("edge_id").agg(F.sum(F.col("v") * F.col("v")).alias("na"))
+    q_df = F.broadcast(literal_df(spark, [(b, v) for b, v in qv],
+                                  ["bucket", "qv"]))
+    dot = (vec.join(q_df, "bucket")
+           .groupBy("edge_id").agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
+    scored = (verb.join(dot, "edge_id").join(na, "edge_id")
+              .withColumn("score",
+                          F.col("dot").cast("double")
+                          / F.sqrt((F.col("na") * F.lit(nq)).cast("double"))))
+    top = (scored.orderBy(F.desc("score"), F.asc("head"), F.asc("tail"))
+           .limit(8))
+    relevant = relevance_filter(top, _TOPK_QUERY)
+    return hydrate_triples(relevant, nodes).select(
+        F.col("head_node.name").alias("head"),
+        F.col("relation.name").alias("relation"),
+        F.col("tail_node.name").alias("tail"),
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Rows-only entries (non-SQL-expressible: pipeline over synthetic pages, LSH)
 # --------------------------------------------------------------------------- #
@@ -585,16 +636,10 @@ def q_kg_triple_topk(spark, sf):  # rows-only
     ).select("head", "tail")
 
 
-def q_kg_query_structured(spark, sf):
-    """Entry C structured query through the REAL plan operators (Q11
-    structured_filter: broadcast OR-semi-join prefilter; Q12 hydrate_triples:
-    nested head/relation/tail structs) — oracle-paired (VERDICT r2 #7): the
-    graph is the token-exact co-occurrence graph over `documents`, so DuckDB
-    reproduces the whole query as CTE + IN filters. The same operators over
-    the full synthetic-crawl pipeline stay covered by kg_query_text (rows-
-    only) and tests/test_query_plan.py."""
-    from .plans.query import hydrate_triples, structured_filter
-
+def _cooc_graph(spark, sf):
+    """(nodes, edges) in the engine's table shapes over the token-exact
+    co-occurrence graph — the SQL-reproducible stand-in graph the Entry C
+    contract entries run the REAL plan operators against."""
     t = q_kg_cooccurrence(spark, sf)
     empty_props = F.from_json(F.lit("{}"), "map<string,array<string>>")
     empty_chunks = F.array().cast("array<string>")
@@ -610,6 +655,20 @@ def q_kg_query_structured(spark, sf):
         F.xxhash64("tail").alias("tail_id"),
         "head", F.col("relation").alias("rel_type"), "tail",
         empty_props.alias("properties"), empty_chunks.alias("chunks"))
+    return nodes, edges
+
+
+def q_kg_query_structured(spark, sf):
+    """Entry C structured query through the REAL plan operators (Q11
+    structured_filter: broadcast OR-semi-join prefilter; Q12 hydrate_triples:
+    nested head/relation/tail structs) — oracle-paired (VERDICT r2 #7): the
+    graph is the token-exact co-occurrence graph over `documents`, so DuckDB
+    reproduces the whole query as CTE + IN filters. The same operators over
+    the full synthetic-crawl pipeline stay covered by kg_query_text (rows-
+    only) and tests/test_query_plan.py."""
+    from .plans.query import hydrate_triples, structured_filter
+
+    nodes, edges = _cooc_graph(spark, sf)
     filtered = structured_filter(nodes, edges, entities=["term"],
                                  values=["spark", "customer"],
                                  relations=["cooccurs_with"])
@@ -848,6 +907,7 @@ QUERIES: dict[str, _T] = {
     "kg_triple_topk_hashed": q_kg_triple_topk_hashed,
     "kg_query_structured": q_kg_query_structured,
     "kg_query_text": q_kg_query_text,
+    "kg_query_text_hashed": q_kg_query_text_hashed,
     "kg_chapters": q_kg_chapters,
     "kg_pipeline_nodes": q_kg_pipeline_nodes,
     "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -1252,3 +1312,56 @@ def _topk_hashed_oracle_sql() -> str:
 
 
 ORACLE_SQL["kg_triple_topk_hashed"] = _topk_hashed_oracle_sql()
+
+
+def _query_text_hashed_oracle_sql() -> str:
+    """Entry C text-path oracle: structured IN-filter, hashed top-8 (same
+    vector literals as the Spark side), token-overlap relevance, hydration
+    back to (head, relation, tail)."""
+    qv, nq = _hashed_query_vector(_TOPK_QUERY, _TOPK_DIM)
+    vals = ", ".join(f"({b}, {v})" for b, v in qv)
+    rel_tokens = ", ".join(
+        f"'{t}'" for t in sorted(set(
+            _TOPK_QUERY.lower().replace(",", " ").replace("?", " ").split())))
+    flt = "'spark', 'join', 'sort', 'vector', 'hash', 'window'"
+    return _COOC_CTE + f"""
+        , filtered as (
+          select head, tail from cooc
+          where head in ({flt}) or tail in ({flt})
+        ), verb as (
+          select head, tail,
+                 head || ' which is a term cooccurs with ' || tail || ', a term' as text
+          from filtered
+        ), tok as (
+          select head, tail,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as tok
+          from verb
+        ), kv as (
+          select head, tail,
+                 CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) as h
+          from tok
+        ), vec as (
+          select head, tail, h % {_TOPK_DIM} as bucket,
+                 sum(case when (h >> 59) & 1 = 1 then 1 else -1 end) as v
+          from kv group by head, tail, bucket
+        ), na as (
+          select head, tail, sum(v * v) as na from vec group by head, tail
+        ), q(bucket, qv) as (values {vals}),
+        dot as (
+          select vec.head, vec.tail, sum(vec.v * q.qv) as dot
+          from vec join q using (bucket) group by vec.head, vec.tail
+        ), top as (
+          select d.head, d.tail
+          from dot d join na using (head, tail)
+          order by CAST(dot AS DOUBLE) / sqrt(CAST(na * {nq} AS DOUBLE)) desc,
+                   head, tail
+          limit 8
+        )
+        select t.head, 'cooccurs_with' as relation, t.tail
+        from top t join verb using (head, tail)
+        where len(list_intersect(
+                list_distinct(string_split(lower(verb.text), ' ')),
+                [{rel_tokens}])) >= 1"""
+
+
+ORACLE_SQL["kg_query_text_hashed"] = _query_text_hashed_oracle_sql()
