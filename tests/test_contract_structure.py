@@ -41,6 +41,25 @@ def test_kg_connected_components_oracle_is_multi_component(con):
         assert c == min(ms), f"component {c} is not min of {sorted(ms)}"
 
 
+def test_hashed_entries_discriminate(con):
+    """The hashed top-k and Entry C text entries must actually SELECT:
+    top-10/top-8 strictly smaller than their candidate pools, and the text
+    entry's relevance stage must keep at least one row — otherwise a broken
+    scorer that returns everything (or nothing) would still 'match'."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    topk = con.execute(ORACLE_SQL["kg_triple_topk_hashed"]).fetchall()
+    pool = con.execute(ORACLE_SQL["kg_cooccurrence"]).fetchall()
+    assert len(topk) == 10 < len(pool)
+
+    qtext = con.execute(ORACLE_SQL["kg_query_text_hashed"]).fetchall()
+    assert 1 <= len(qtext) <= 8
+    heads_tails = {x for r in qtext for x in (r[0], r[2])}
+    flt = {"spark", "join", "sort", "vector", "hash", "window"}
+    assert all(r[0] in flt or r[2] in flt for r in qtext), \
+        f"prefilter leaked: {heads_tails - flt}"
+
+
 def test_fuzzy_pairs_oracle_nonempty(con):
     """The L7 entry must keep matching real near-duplicate names."""
     from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
