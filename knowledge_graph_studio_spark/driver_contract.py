@@ -823,6 +823,18 @@ def q_embedding_neardup_lsh(spark, sf):
                               collapse_exact=True)
 
 
+def q_simhash_neardup(spark, sf):
+    """SimHash near-dup pairs (banded hamming blocking + exact bit_count
+    verification, EXACT for hamming <= n_bands-1 by pigeonhole) — oracle-
+    paired on the md5_60 family: DuckDB reproduces the signatures, the
+    banding, the bucket join and bit_count(xor) verbatim."""
+    from .operators.dedup import simhash_neardup_pairs
+
+    d = _read(spark, sf, "documents")
+    return simhash_neardup_pairs(d, max_hamming=3, band_bits=15, bits=60,
+                                 hash_fn="md5_60")
+
+
 def q_match_improvement(spark, sf):
     """Q17 match improvement's distributed scan (plans/query.match_candidates;
     utilities/builders.py:439-577 contract): inventory names matching the
@@ -913,6 +925,7 @@ QUERIES: dict[str, _T] = {
     "kg_pipeline_edges": q_kg_pipeline_edges,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -1365,3 +1378,27 @@ def _query_text_hashed_oracle_sql() -> str:
 
 
 ORACLE_SQL["kg_query_text_hashed"] = _query_text_hashed_oracle_sql()
+
+
+def _simhash_neardup_oracle_sql(max_hamming: int = 3, bits: int = 60,
+                                band_bits: int = 15,
+                                max_bucket: int = 1000) -> str:
+    """Banded-hamming oracle built on the simhash oracle's signature CTEs."""
+    base = _simhash_oracle_sql(bits=bits, band_bits=band_bits)
+    return f"""
+        with banded as ({base}
+        ), sized as (
+          select band_id, band_key from banded
+          group by band_id, band_key
+          having count(*) between 2 and {max_bucket}
+        )
+        select distinct a.doc_id as da, b.doc_id as db,
+               bit_count(xor(a.simhash, b.simhash)) as hamming
+        from banded a
+        join sized s on a.band_id = s.band_id and a.band_key = s.band_key
+        join banded b on a.band_id = b.band_id and a.band_key = b.band_key
+                     and a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+ORACLE_SQL["simhash_neardup"] = _simhash_neardup_oracle_sql()

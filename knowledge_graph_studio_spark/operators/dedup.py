@@ -361,6 +361,46 @@ def minhash_neardup_pairs(
     return out.select("da", "db", "common", "union_size")
 
 
+def simhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+    band_bits: int = 15, bits: int = 60, hash_fn: str = "xxhash64",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(da, db, hamming) pairs whose simhash signatures differ in at most
+    ``max_hamming`` bits — banded blocking + exact verification.
+
+    Recall guarantee by pigeonhole: with n_bands = bits/band_bits bands, two
+    signatures within hamming n_bands-1 leave at least one band untouched,
+    so they collide in >= 1 bucket — the default 4x15 over 60 bits makes
+    max_hamming <= 3 EXACT, not approximate. Buckets above ``max_bucket``
+    are dropped (the simhash analog of the hot-shingle guard; identical
+    boilerplate docs produce identical signatures, so run exact dedup or
+    collapse first on duplicated corpora). Verification is one
+    bit_count(xor) per candidate — no token data moves, only 8-byte
+    signatures."""
+    assert max_hamming <= bits // band_bits - 1, \
+        "banding only guarantees recall for hamming <= n_bands - 1"
+    b = simhash_buckets(df, id_col, text_col, band_bits=band_bits,
+                        bits=bits, hash_fn=hash_fn)
+    sized = (b.groupBy("band_id", "band_key")
+             .agg(F.count("*").alias("_n"))
+             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+             .select("band_id", "band_key"))
+    m = b.join(sized, ["band_id", "band_key"])
+    x = m.select("band_id", "band_key", F.col("doc_id").alias("da"),
+                 F.col("simhash").alias("_sa"))
+    y = m.select("band_id", "band_key", F.col("doc_id").alias("db"),
+                 F.col("simhash").alias("_sb"))
+    cands = (x.join(y, ["band_id", "band_key"])
+             .filter(F.col("da") < F.col("db"))
+             .select("da", "db",
+                     F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                     .alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming))
+    return cands.distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     jaccard_threshold: float = 0.5,

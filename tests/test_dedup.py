@@ -132,6 +132,35 @@ def test_ngram_jaccard_collapse_equivalence(spark, docs):
     assert any(r[1] == r[0] + 5000 for r in collapsed)
 
 
+def test_simhash_neardup_exact_within_band_guarantee(spark, docs):
+    """Banded blocking is EXACT for hamming <= n_bands - 1 (pigeonhole):
+    the operator's pairs must equal brute-force all-pairs hamming <= 3."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        simhash_neardup_pairs, simhash_signatures,
+    )
+
+    d = docs.select("doc_id", "text")
+    sig = simhash_signatures(d, bits=60, hash_fn="md5_60")
+    a = sig.select(F.col("doc_id").alias("da"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("db"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["da"], r["db"], r["h"])
+        for r in a.crossJoin(b).filter(F.col("da") < F.col("db"))
+        .select("da", "db",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h"))
+        .filter(F.col("h") <= 3).collect()
+    }
+    banded = {
+        (r["da"], r["db"], r["hamming"])
+        for r in simhash_neardup_pairs(
+            d, max_hamming=3, band_bits=15, bits=60,
+            hash_fn="md5_60").collect()
+    }
+    assert banded == brute, (
+        f"missed={sorted(brute - banded)[:3]} extra={sorted(banded - brute)[:3]}")
+    assert brute, "fixture should contain hamming<=3 signature pairs"
+
+
 def test_collapse_skips_shingleless_duplicates(spark):
     """Duplicated EMPTY or sub-k-token texts have no shingles: the
     uncollapsed inverted-index/banding joins can never emit them, so the
