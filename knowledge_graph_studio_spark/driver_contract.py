@@ -832,7 +832,7 @@ def q_simhash_neardup(spark, sf):
 
     d = _read(spark, sf, "documents")
     return simhash_neardup_pairs(d, max_hamming=3, band_bits=15, bits=60,
-                                 hash_fn="md5_60")
+                                 hash_fn="md5_60", collapse_exact=True)
 
 
 def q_match_improvement(spark, sf):

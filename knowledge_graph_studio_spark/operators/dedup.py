@@ -365,7 +365,7 @@ def simhash_neardup_pairs(
     df: DataFrame, max_hamming: int = 3,
     id_col: str = "doc_id", text_col: str = "text",
     band_bits: int = 15, bits: int = 60, hash_fn: str = "xxhash64",
-    max_bucket: int = 1000,
+    max_bucket: int = 1000, collapse_exact: bool = False,
 ) -> DataFrame:
     """(da, db, hamming) pairs whose simhash signatures differ in at most
     ``max_hamming`` bits — banded blocking + exact verification.
@@ -374,13 +374,42 @@ def simhash_neardup_pairs(
     signatures within hamming n_bands-1 leave at least one band untouched,
     so they collide in >= 1 bucket — the default 4x15 over 60 bits makes
     max_hamming <= 3 EXACT, not approximate. Buckets above ``max_bucket``
-    are dropped (the simhash analog of the hot-shingle guard; identical
-    boilerplate docs produce identical signatures, so run exact dedup or
-    collapse first on duplicated corpora). Verification is one
-    bit_count(xor) per candidate — no token data moves, only 8-byte
-    signatures."""
+    are dropped (the simhash analog of the hot-shingle guard). Verification
+    is one bit_count(xor) per candidate — no token data moves, only 8-byte
+    signatures.
+
+    ``collapse_exact``: identical texts have identical signatures, so k
+    verbatim copies multiply every bucket they touch by k — collapse to
+    representatives first and expand after, intra-duplicate pairs at
+    hamming 0 (same construction as the other dedup families)."""
     assert max_hamming <= bits // band_bits - 1, \
         "banding only guarantees recall for hamming <= n_bands - 1"
+    if collapse_exact:
+        reps, mem = _collapse_verbatim(df, id_col, text_col)
+        rep_out = simhash_neardup_pairs(
+            reps, max_hamming, id_col, text_col, band_bits, bits, hash_fn,
+            max_bucket, collapse_exact=False)
+        cross = (
+            rep_out
+            .join(mem.select(F.col("_rep").alias("da"),
+                             F.col("_mid").alias("_ia")), "da")
+            .join(mem.select(F.col("_rep").alias("db"),
+                             F.col("_mid").alias("_ib")), "db")
+            .select(F.least("_ia", "_ib").alias("da"),
+                    F.greatest("_ia", "_ib").alias("db"), "hamming"))
+        # null-text groups have no signature (explode of split(null) is
+        # empty), so the uncollapsed path can never pair them — exclude
+        # them from intra expansion too
+        dup_mem = mem.join(
+            reps.filter((F.col("_n") >= 2) & F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("_rep")), "_rep")
+        x, y = dup_mem.alias("x"), dup_mem.alias("y")
+        intra = (
+            x.join(y, (F.col("x._rep") == F.col("y._rep"))
+                   & (F.col("x._mid") < F.col("y._mid")))
+            .select(F.col("x._mid").alias("da"), F.col("y._mid").alias("db"),
+                    F.lit(0).cast("int").alias("hamming")))
+        return cross.unionByName(intra)
     b = simhash_buckets(df, id_col, text_col, band_bits=band_bits,
                         bits=bits, hash_fn=hash_fn)
     sized = (b.groupBy("band_id", "band_key")

@@ -161,6 +161,28 @@ def test_simhash_neardup_exact_within_band_guarantee(spark, docs):
     assert brute, "fixture should contain hamming<=3 signature pairs"
 
 
+def test_simhash_neardup_collapse_equivalence(spark, docs):
+    """Collapse expansion must reproduce the uncollapsed banded pairs on a
+    verbatim-tiled corpus (intra-duplicates at hamming 0), and null-text
+    duplicates — which have no signature — must stay excluded."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    base = docs.filter("doc_id < 40").select("doc_id", "text")
+    tiled = base.unionByName(
+        base.select((F.col("doc_id") + 5000).alias("doc_id"), "text")
+    ).unionByName(spark.createDataFrame(
+        [(9000, None), (9001, None)], "doc_id long, text string"))
+    plain = {tuple(r) for r in simhash_neardup_pairs(
+        tiled, hash_fn="md5_60").collect()}
+    collapsed = {tuple(r) for r in simhash_neardup_pairs(
+        tiled, hash_fn="md5_60", collapse_exact=True).collect()}
+    assert plain == collapsed
+    assert all((9000, 9001) != (r[0], r[1]) for r in collapsed)
+    assert any(r[2] == 0 for r in collapsed), "expected hamming-0 duplicates"
+
+
 def test_collapse_skips_shingleless_duplicates(spark):
     """Duplicated EMPTY or sub-k-token texts have no shingles: the
     uncollapsed inverted-index/banding joins can never emit them, so the
