@@ -1142,13 +1142,27 @@ ORACLE_SQL: dict[str, str] = {
                            rows between unbounded preceding and current row),
                    'PROLOGUE') as chapter
           from marked
+        ), content as (
+          select book_id, chapter,
+                 string_agg(line, chr(10) order by line_no) as lines_joined,
+                 count(*) as n_lines,
+                 min(line_no) as first_line_no
+          from assigned where hdr = ''
+          group by book_id, chapter
+        ), keys as (
+          -- empty-chapter parity (processors.py:309-324): every header mints
+          -- a key even with zero content lines, and PROLOGUE always exists
+          select distinct book_id, 'CHAPTER ' || upper(hdr) as chapter
+          from marked where hdr <> ''
+          union
+          select distinct book_id, 'PROLOGUE' as chapter from lines
         )
-        select book_id, chapter,
-               string_agg(line, chr(10) order by line_no) as lines_joined,
-               count(*) as n_lines,
-               min(line_no) as first_line_no
-        from assigned where hdr = ''
-        group by book_id, chapter""",
+        select k.book_id, k.chapter,
+               coalesce(c.lines_joined, '') as lines_joined,
+               coalesce(c.n_lines, 0) as n_lines,
+               c.first_line_no
+        from keys k left join content c
+          on c.book_id = k.book_id and c.chapter = k.chapter""",
     "kg_node_degree": _COOC_CTE + """
         , ends as (
           select head as name, support from cooc

@@ -28,6 +28,30 @@ from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
 
+# Orphaned-.tmp sweep grace period: a temp file younger than this is presumed
+# to belong to a LIVE writer mid write-then-rename commit and is left alone
+# (deleting it would make that writer's os.replace fail and lose the record —
+# ADVICE r3). Crashed writers' temps age past it and get collected on the
+# next prune.
+TMP_SWEEP_GRACE_SEC = 300.0
+
+
+def _sweep_stale_tmp(dirpath: str, grace: float = TMP_SWEEP_GRACE_SEC) -> int:
+    """Delete *.tmp files older than ``grace`` seconds. Returns #deleted."""
+    now = time.time()
+    deleted = 0
+    for f in os.listdir(dirpath):
+        if not f.endswith(".tmp"):
+            continue
+        p = os.path.join(dirpath, f)
+        try:
+            if now - os.path.getmtime(p) > grace:
+                os.remove(p)
+                deleted += 1
+        except OSError:
+            pass  # raced with the writer's rename — exactly the case we skip
+    return deleted
+
 
 class RunManifest:
     """run_manifest(run_id, partition_id, stage, status, rows_out,
@@ -106,10 +130,12 @@ class RunManifest:
         for p in set(doomed):
             os.remove(p)
             deleted += 1
-        # sweep orphaned .tmp files from crashed writers while we're here
-        for f in os.listdir(self.dir):
-            if f.endswith(".tmp"):
-                os.remove(os.path.join(self.dir, f))
+        # sweep orphaned .tmp files from crashed writers while we're here —
+        # only STALE ones (ADVICE r3): a prune racing a live writer's
+        # write-tmp-then-rename commit must not delete the in-flight temp
+        # (the writer's os.replace would fail and lose the record), so
+        # anything younger than the grace period is presumed in-flight.
+        _sweep_stale_tmp(self.dir)
         return deleted
 
 
@@ -290,11 +316,9 @@ class QueryLog:
         eligible; keeps the newest `max_records` of those and/or drops ones
         created before `before_ts`. Returns #deleted."""
         cand = []
+        _sweep_stale_tmp(self.dir)  # grace-period sweep, see RunManifest.prune
         for f in os.listdir(self.dir):
             p = os.path.join(self.dir, f)
-            if f.endswith(".tmp"):
-                os.remove(p)
-                continue
             if not f.endswith(".json"):
                 continue
             with open(p) as fh:

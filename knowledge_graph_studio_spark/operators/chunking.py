@@ -195,11 +195,21 @@ def aggregate_chapters(
     repeated headers with the same name merge into one chapter; header lines
     themselves are not chapter content.
 
+    Empty-chapter parity (ADVICE r3): the reference keeps chapter keys that
+    have zero content lines (a header immediately followed by another
+    header) and initializes ``{"PROLOGUE": []}`` unconditionally
+    (processors.py:309-310), so chapter_count counts empty chapters and
+    every book has a PROLOGUE entry. Reproduced here with a per-book key
+    table (distinct header keys + PROLOGUE) left-joined onto the content
+    aggregation; empty chapters carry ``lines=[]``, ``n_lines=0``,
+    ``first_line_no=NULL``.
+
     Distributed shape: header detection is a regexp projection; chapter
     assignment = last non-null header at-or-before each line (running
     window over the book's line order — one shuffle on book_col, reused by
-    the final grouping since the keys nest); output one row per
-    (book, chapter) with the chapter's lines in order.
+    the final grouping since the keys nest); the key table is a distinct
+    over header rows only (tiny). Output one row per (book, chapter) with
+    the chapter's lines in order.
 
     Returns (book_id, chapter, lines: array<string>, n_lines,
     first_line_no)."""
@@ -222,7 +232,7 @@ def aggregate_chapters(
             F.lit("PROLOGUE"),
         ),
     )
-    return (
+    content = (
         assigned.filter(F.col("_hdr") == "")  # headers are keys, not content
         .groupBy("book_id", "chapter")
         .agg(
@@ -233,6 +243,19 @@ def aggregate_chapters(
             F.count("*").alias("n_lines"),
             F.min("line_no").alias("first_line_no"),
         )
+    )
+    keys = (
+        assigned.filter(F.col("_hdr") != "")
+        .select("book_id",
+                F.concat(F.lit("CHAPTER "), F.upper("_hdr")).alias("chapter"))
+        .union(assigned.select("book_id", F.lit("PROLOGUE").alias("chapter")))
+        .distinct()
+    )
+    return keys.join(content, ["book_id", "chapter"], "left").select(
+        "book_id", "chapter",
+        F.coalesce("lines", F.array().cast("array<string>")).alias("lines"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        "first_line_no",
     )
 
 

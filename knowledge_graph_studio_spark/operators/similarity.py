@@ -114,7 +114,8 @@ def _gemm_pairs(ids_a: np.ndarray, mat_a: np.ndarray,
 
 def _collapse_expand_vectors(df, threshold, id_col, vec_col, rep_pairs_fn):
     """Shared verbatim-duplicate collapse for the vector near-dup operators:
-    collapse identical vectors (md5 of the array's string form) to one
+    collapse identical vectors (content key = double-seeded xxhash64 over
+    the array column, see below) to one
     representative (min id), compute representative-level pairs with
     ``rep_pairs_fn(reps_df)``, then expand back through the membership
     table — cross-content pairs via two joins, intra-content pairs exactly
@@ -265,8 +266,10 @@ def cosine_neardup_lsh(
     two joins, intra-content pairs exactly — identical nonzero vectors have
     cosine 1 by definition, so their recall becomes exact instead of
     LSH-dependent). Same output contract; bucket work shrinks from
-    sum (k_i |b|)^2 to sum |b|^2. Representatives are keyed by md5 of the
-    vector's string form (collision odds negligible at any corpus size)."""
+    sum (k_i |b|)^2 to sum |b|^2. Representatives are keyed by a
+    double-seeded xxhash64 over the array column (128 combined bits —
+    collision odds negligible at any corpus size, and no per-row
+    stringification; see _collapse_expand_vectors)."""
     if collapse_exact:
         return _collapse_expand_vectors(
             df, threshold, id_col, vec_col,

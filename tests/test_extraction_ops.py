@@ -141,10 +141,17 @@ def test_aggregate_chapters_c5_semantics(spark):
         "more of chapter one",
         "the chapter word mid-line does not match",
     ]
+    # b2: starts with a header (empty PROLOGUE) and has an empty chapter
+    # (header immediately followed by another header) — the reference keeps
+    # BOTH keys with [] (processors.py:309-324, ADVICE r3)
+    book2 = ["CHAPTER Alpha", "CHAPTER Beta", "beta text"]
     lines = spark.createDataFrame(
-        [("b1", i, ln) for i, ln in enumerate(book)],
+        [("b1", i, ln) for i, ln in enumerate(book)]
+        + [("b2", i, ln) for i, ln in enumerate(book2)],
         "book_id string, line_no long, line string")
-    got = {r["chapter"]: r for r in aggregate_chapters(lines).collect()}
+    rows = aggregate_chapters(lines).collect()
+    got = {r["chapter"]: r for r in rows if r["book_id"] == "b1"}
+    got2 = {r["chapter"]: r for r in rows if r["book_id"] == "b2"}
     assert got["PROLOGUE"]["lines"] == ["intro line one", "intro line two"]
     # the duplicate 'CHAPTER one' header switches current_chapter BACK, so
     # the trailing line merges into CHAPTER ONE (reference dict semantics)
@@ -153,6 +160,13 @@ def test_aggregate_chapters_c5_semantics(spark):
         "the chapter word mid-line does not match"]
     assert got["CHAPTER TWO"]["lines"] == ["second chapter text"]
     assert set(got) == {"PROLOGUE", "CHAPTER ONE", "CHAPTER TWO"}
+    assert set(got2) == {"PROLOGUE", "CHAPTER ALPHA", "CHAPTER BETA"}
+    assert got2["PROLOGUE"]["lines"] == []          # empty but present
+    assert got2["PROLOGUE"]["n_lines"] == 0
+    assert got2["CHAPTER ALPHA"]["lines"] == []     # empty chapter kept
+    assert got2["CHAPTER ALPHA"]["first_line_no"] is None
+    assert got2["CHAPTER BETA"]["lines"] == ["beta text"]
     counts = {r["book_id"]: r["chapter_count"]
               for r in chapter_counts(aggregate_chapters(lines)).collect()}
-    assert counts == {"b1": 2}  # PROLOGUE excluded (processors.py:330-333)
+    # PROLOGUE excluded (processors.py:330-333); empty chapters counted
+    assert counts == {"b1": 2, "b2": 2}

@@ -29,13 +29,22 @@ def test_manifest_prune_ttl_and_max_records(tmp_path):
     # 2 live-run records, one of them ANCIENT — still protected
     m.commit("extract", 0, now - 10)
     _fake_record(m.dir, "live", "extract", 1, now - 9999)
-    # orphaned tmp from a crashed writer
-    with open(os.path.join(m.dir, "extract_p00099.json.tmp"), "w") as fh:
+    # orphaned tmp from a crashed writer (aged past the sweep grace) plus a
+    # FRESH tmp standing in for a live writer mid-commit (ADVICE r3: the
+    # sweep must not race an in-flight write-then-rename)
+    stale_tmp = os.path.join(m.dir, "extract_p00099.json.tmp")
+    with open(stale_tmp, "w") as fh:
         fh.write("{partial")
+    os.utime(stale_tmp, (now - 9000, now - 9000))
+    fresh_tmp = os.path.join(m.dir, "extract_p00098.json.tmp")
+    with open(fresh_tmp, "w") as fh:
+        fh.write("{inflight")
 
     deleted = m.prune(before_ts=now - 3500)  # kills ages 5000, 4000
     assert deleted == 2
-    assert not any(f.endswith(".tmp") for f in os.listdir(m.dir))
+    assert not os.path.exists(stale_tmp)   # aged orphan collected
+    assert os.path.exists(fresh_tmp)       # in-flight temp left alone
+    os.remove(fresh_tmp)
     # live records survive regardless of age
     assert m.committed("extract") >= {0, 1}
 
