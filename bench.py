@@ -86,8 +86,11 @@ def main() -> None:
                                              partitions=cores * 2),
                       max_chunks=2048, max_prop_vals=2048)
     n_triples = out["triples"].count()
-    n_nodes = out["nodes"].count()
+    # edges FIRST: the edge plan materializes the nodes checkpoint as a side
+    # effect (one fused action), so the nodes count afterwards is a cached
+    # read instead of a second aggregation job
     n_edges = out["edges"].count()
+    n_nodes = out["nodes"].count()
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
     t_suite += kg_sec
@@ -118,8 +121,8 @@ def main() -> None:
     out2 = build_graph(spark, spark.read.parquet(pages_path),
                        max_chunks=2048, max_prop_vals=2048)
     n_triples2 = out2["triples"].count()
+    out2["edges"].count()  # fused action (see above), then cached nodes read
     out2["nodes"].count()
-    out2["edges"].count()
     kg_engine_sec = time.time() - t0
     timings["kg_pipeline_engine"] = round(kg_engine_sec, 3)
     t_suite += kg_engine_sec

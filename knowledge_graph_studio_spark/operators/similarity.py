@@ -195,7 +195,11 @@ def cosine_allpairs(
     otherwise multiply the O(N^2) flops by up to k^2 while adding only
     information the expansion join reconstructs exactly. The result is still
     EXACT (identical nonzero vectors have cosine 1; emitted whenever
-    threshold <= 1, which is every meaningful threshold)."""
+    threshold <= 1, which is every meaningful threshold). "auto" probes the
+    duplicate rate first (dedup.resolve_collapse on the vector column)."""
+    from .dedup import resolve_collapse
+
+    collapse_exact = resolve_collapse(df, collapse_exact, vec_col)
     if collapse_exact:
         return _collapse_expand_vectors(
             df, threshold, id_col, vec_col,
@@ -269,7 +273,11 @@ def cosine_neardup_lsh(
     sum (k_i |b|)^2 to sum |b|^2. Representatives are keyed by a
     double-seeded xxhash64 over the array column (128 combined bits —
     collision odds negligible at any corpus size, and no per-row
-    stringification; see _collapse_expand_vectors)."""
+    stringification; see _collapse_expand_vectors). "auto" probes the
+    duplicate rate first (dedup.resolve_collapse on the vector column)."""
+    from .dedup import resolve_collapse
+
+    collapse_exact = resolve_collapse(df, collapse_exact, vec_col)
     if collapse_exact:
         return _collapse_expand_vectors(
             df, threshold, id_col, vec_col,

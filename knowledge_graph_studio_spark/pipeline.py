@@ -79,9 +79,15 @@ def build_graph(
     # long-lived session after callers drop the returned frames.
     triples = triples.localCheckpoint(eager=False)
     if fuzzy:
-        mapping = canonical_mapping(triples, alias_df=None,
-                                    fuzzy=True).localCheckpoint(eager=False)
-        canon = apply_canonical_mapping(triples, mapping)
+        # no checkpoint here: canonical_mapping returns either a literal
+        # relation (driver-finalized small path, free to re-evaluate) or an
+        # internally checkpointed plan (distributed path).
+        mapping = canonical_mapping(triples, alias_df=None, fuzzy=True)
+        # empty mapping (no fuzzy merges found) -> skip the two broadcast
+        # rewrite joins entirely; isEmpty is ~free on the literal/
+        # checkpointed relation canonical_mapping returns.
+        canon = triples if mapping.isEmpty() \
+            else apply_canonical_mapping(triples, mapping)
     else:
         mapping = None
         canon = triples
@@ -148,9 +154,9 @@ def build_graph_resumable(
             .select([f.name for f in TRIPLES_SCHEMA.fields])  # drop bucket col
             .localCheckpoint(eager=False)
         )
-        mapping = canonical_mapping(triples, alias_df=None,
-                                    fuzzy=True).localCheckpoint(eager=False)
-        canon = apply_canonical_mapping(triples, mapping)
+        mapping = canonical_mapping(triples, alias_df=None, fuzzy=True)
+        canon = triples if mapping.isEmpty() \
+            else apply_canonical_mapping(triples, mapping)
         nodes = build_nodes(canon, graph=graph, workspace=workspace,
                             created_by=created_by).persist()
         edges = build_edges(canon, nodes, graph=graph, workspace=workspace,

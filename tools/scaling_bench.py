@@ -183,32 +183,38 @@ def worker(cores: int, pages: int, partitions: int,
     triples = triples_from_pages(spark, src).persist()
     n_triples = triples.count()
     t1 = time.time()
-    # eager checkpoint: the mapping is consumed by BOTH the node and the edge
-    # aggregation; without it each one re-derives the mapping (a full
-    # name-frequency pass over the triples table) inside its own stage wall —
-    # the constant tail VERDICT r2 #2 flagged. Eager so the cost lands in
-    # the canonicalize stage it belongs to.
-    mapping = canonical_mapping(triples, alias_df=None,
-                                fuzzy=True).localCheckpoint()
-    canon = apply_canonical_mapping(triples, mapping)
+    # driver-finalized in the common path: the collect jobs run inside this
+    # call and the returned mapping is a literal relation (no checkpoint job,
+    # no window shuffle — the constant tail VERDICT r2 #2 / r3 #1 flagged).
+    mapping = canonical_mapping(triples, alias_df=None, fuzzy=True)
+    canon = triples if mapping.isEmpty() \
+        else apply_canonical_mapping(triples, mapping)
     t2 = time.time()
-    nodes = build_nodes(canon, max_chunks=2048, max_prop_vals=2048).persist()
-    n_nodes = nodes.count()
-    t3 = time.time()
+    # ONE action materializes nodes AND edges (VERDICT r3 #1): the edge plan
+    # consumes the non-eagerly checkpointed nodes subplan, so the node
+    # aggregation runs inside the same job and the nodes count afterwards is
+    # a cached read.
+    from knowledge_graph_studio_spark.operators.linking import _salt_count
+    nodes = build_nodes(canon, max_chunks=2048,
+                        max_prop_vals=2048).localCheckpoint(eager=False)
     edges = build_edges(canon, nodes, max_chunks=2048, max_prop_vals=2048)
     n_edges = edges.count()
+    t3 = time.time()
+    n_nodes = nodes.count()
     t4 = time.time()
     dt = t4 - t0
+    salt = _salt_count(triples, None)
     spark.stop()
     return {
         "cores": cores, "pages": pages, "partitions": partitions,
         "text_scale": text_scale, "from_parquet": bool(pages_path),
         "wall_sec": round(dt, 3),
+        "salt_fanout": salt,  # skew-salt actually used by the agg stages
         "stages": {
             "extract": round(t1 - t0, 3),
             "canonicalize": round(t2 - t1, 3),
-            "nodes": round(t3 - t2, 3),
-            "edges": round(t4 - t3, 3),
+            "link": round(t3 - t2, 3),        # fused node+edge aggregation
+            "nodes_read": round(t4 - t3, 3),  # cached count only
         },
         "triples": n_triples, "nodes": n_nodes, "edges": n_edges,
         "triples_per_sec": round(n_triples / dt, 2),
