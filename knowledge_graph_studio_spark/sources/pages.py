@@ -62,6 +62,35 @@ def synthetic_pages(
     )
 
 
+def synthetic_pages_zipf(
+    spark: SparkSession, n: int, seed: int = 42,
+    partitions: int | None = None, n_people: int = 256,
+    n_companies: int = 256, n_cities: int = 32, alpha: float = 0.0,
+    text_scale: int = 1,
+) -> DataFrame:
+    """High-cardinality / Zipf-skew pages table (corpus.make_page_zipf) —
+    the scaling-evidence corpus whose entity cardinality and hot-key skew
+    are parametric (VERDICT r3 #4). Same distributed generation shape as
+    synthetic_pages; pair with corpus.zipf_config's schema+gazetteer."""
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from knowledge_graph_studio_spark.corpus import make_page_zipf
+
+        for pdf in batches:
+            rows = [make_page_zipf(int(i), seed, n_people, n_companies,
+                                   n_cities, alpha, text_scale)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(0, n, numPartitions=partitions)
+        .mapInPandas(gen, schema=PAGES_SCHEMA)
+    )
+
+
 def write_pages(df: DataFrame, path: str, buckets: int = 0) -> None:
     """Materialize pages, optionally laid out by url-hash bucket (the
     bucket(N, xxhash64(url)) partitioning of FIXTURES.md §1)."""

@@ -107,7 +107,8 @@ def mem_capacity(procs: int, secs: float = 4.0, buf_mb: int = 64) -> float:
     return total / secs
 
 
-def materialize_corpus(pages: int, partitions: int, text_scale: int) -> str:
+def materialize_corpus(pages: int, partitions: int, text_scale: int,
+                       corpus: str = "default", alpha: float = 0.0) -> str:
     """Write the synthetic pages table ONCE (shared by every level/repeat).
     The measured job then READS it like production reads a crawl table —
     chaining the generator UDF into extraction would pipe gigabytes of HTML
@@ -121,23 +122,31 @@ def materialize_corpus(pages: int, partitions: int, text_scale: int) -> str:
 
     from knowledge_graph_studio_spark import corpus as _corpus
     gen_ver = hashlib.md5(open(_corpus.__file__, "rb").read()).hexdigest()[:10]
+    tag = "" if corpus == "default" else f"_{corpus}{alpha}"
     path = (f"/dev/shm/kg_scale_pages_n{pages}_p{partitions}"
-            f"_s{text_scale}_{gen_ver}")
+            f"_s{text_scale}{tag}_{gen_ver}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from knowledge_graph_studio_spark.session import get_spark
-    from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+    from knowledge_graph_studio_spark.sources.pages import (
+        synthetic_pages, synthetic_pages_zipf,
+    )
 
     spark = get_spark("kg-scale-prep", cores=32, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    synthetic_pages(spark, pages, seed=42, partitions=partitions,
-                    text_scale=text_scale).write.mode("overwrite").parquet(path)
+    src = (synthetic_pages_zipf(spark, pages, seed=42, partitions=partitions,
+                                alpha=alpha, text_scale=text_scale)
+           if corpus == "zipf" else
+           synthetic_pages(spark, pages, seed=42, partitions=partitions,
+                           text_scale=text_scale))
+    src.write.mode("overwrite").parquet(path)
     spark.stop()
     return path
 
 
 def worker(cores: int, pages: int, partitions: int,
-           text_scale: int = 8, pages_path: str | None = None) -> dict:
+           text_scale: int = 8, pages_path: str | None = None,
+           corpus: str = "default", alpha: float = 0.0) -> dict:
     from knowledge_graph_studio_spark.operators.linking import (
         apply_canonical_mapping, build_edges, build_nodes, canonical_mapping,
     )
@@ -145,7 +154,23 @@ def worker(cores: int, pages: int, partitions: int,
         build_graph, triples_from_pages,
     )
     from knowledge_graph_studio_spark.session import get_spark
-    from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+    from knowledge_graph_studio_spark.sources.pages import (
+        synthetic_pages, synthetic_pages_zipf,
+    )
+
+    # high-cardinality / Zipf-skew corpus (VERDICT r3 #4): parametric schema
+    # + gazetteer; rules=[] (no alias rules exist for the synthetic codes)
+    if corpus == "zipf":
+        from knowledge_graph_studio_spark.corpus import zipf_config
+
+        schema, gaz, _ = zipf_config()
+        rules: list = []
+
+        def gen_pages(spark_, n, **kw):
+            return synthetic_pages_zipf(spark_, n, alpha=alpha, **kw)
+    else:
+        schema = gaz = rules = None
+        gen_pages = synthetic_pages
 
     spark = get_spark(f"kg-scale-{cores}", cores=cores,
                       shuffle_partitions=2 * cores)
@@ -164,15 +189,16 @@ def worker(cores: int, pages: int, partitions: int,
     # the honest number; a cold 32-worker spawn storm would otherwise bill
     # one-time startup against the larger level only.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    build_graph(spark, synthetic_pages(spark, 64 * cores, seed=1,
-                                       partitions=2 * cores),
+    build_graph(spark, gen_pages(spark, 64 * cores, seed=1,
+                                 partitions=2 * cores),
+                schema=schema, gazetteer=gaz, rules=rules,
                 fuzzy=True)["edges"].count()
     if pages_path:
         # touch every byte once: JVM scan warm-up, no Python involved
         spark.read.parquet(pages_path).selectExpr(
             "sum(length(html))").collect()
 
-    src = spark.read.parquet(pages_path) if pages_path else synthetic_pages(
+    src = spark.read.parquet(pages_path) if pages_path else gen_pages(
         spark, pages, seed=42, partitions=partitions, text_scale=text_scale)
     # Same lineage as pipeline.build_graph(fuzzy=True, max_chunks=2048,
     # max_prop_vals=2048), staged explicitly so each stage gets its own wall
@@ -180,7 +206,7 @@ def worker(cores: int, pages: int, partitions: int,
     # inefficiency lives). max_chunks bounds hot-entity provenance — the
     # web-scale config; see build_nodes docstring.
     t0 = time.time()
-    triples = triples_from_pages(spark, src).persist()
+    triples = triples_from_pages(spark, src, schema, gaz, rules).persist()
     n_triples = triples.count()
     t1 = time.time()
     # driver-finalized in the common path: the collect jobs run inside this
@@ -208,6 +234,7 @@ def worker(cores: int, pages: int, partitions: int,
     return {
         "cores": cores, "pages": pages, "partitions": partitions,
         "text_scale": text_scale, "from_parquet": bool(pages_path),
+        "corpus": corpus, "alpha": alpha,
         "wall_sec": round(dt, 3),
         "salt_fanout": salt,  # skew-salt actually used by the agg stages
         "stages": {
@@ -313,14 +340,16 @@ def measure_incremental(args) -> dict:
 
 
 def run_level(cores: int, pages: int, partitions: int,
-              repeats: int = 1, pages_path: str | None = None) -> dict:
+              repeats: int = 1, pages_path: str | None = None,
+              corpus: str = "default", alpha: float = 0.0) -> dict:
     """Best-of-N fresh-JVM runs (min wall = least-interference estimate;
     single-machine walls swing ~30% with background load)."""
     best = None
     for i in range(repeats):
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
                "--cores", str(cores), "--pages", str(pages),
-               "--partitions", str(partitions)]
+               "--partitions", str(partitions),
+               "--corpus", corpus, "--alpha", str(alpha)]
         if pages_path:
             cmd += ["--pages-path", pages_path]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
@@ -351,6 +380,16 @@ def _stage_table(small: dict, large: dict, hw_max_speedup: float) -> str:
 
 def _variant_block(v: dict, summary: dict) -> str:
     small, large = v["levels"]
+    corpus_note = ""
+    if v.get("corpus") == "zipf":
+        corpus_note = (
+            f"\nHigh-cardinality corpus (544 distinct entities, Zipf "
+            f"alpha={v.get('alpha', 0.0)} mention skew; corpus."
+            f"make_page_zipf): the node/edge aggregation stages carry real "
+            f"key cardinality instead of the default corpus' 38-entity "
+            f"fixed tail, and the salted aggregation's hot-key handling is "
+            f"exercised under web-like skew (salt fan-out per level: "
+            f"{small.get('salt_fanout')}/{large.get('salt_fanout')}).\n")
     mode = ("one pre-materialized parquet table on tmpfs, read identically "
             "by both levels (the ENGINE-only measurement)"
             if small.get("from_parquet") else
@@ -380,7 +419,7 @@ def _variant_block(v: dict, summary: dict) -> str:
                   f"**{v['efficiency_vs_mem_capacity']}**.")
     return f"""{head}
 
-{sizing}
+{sizing}{corpus_note}
 text_scale={small.get('text_scale', 1)}, seed 42, {small['partitions']}/
 {large['partitions']} input partitions; {mode}.
 Walls are best-of-{len(small.get('runs', [1]))} fresh-JVM runs per level
@@ -529,8 +568,16 @@ def measure_variant(name: str, args) -> dict:
     reading of the north rule, immune to the constant per-job tail that
     Amdahl-limits any strong-scaling run at bench-sized inputs."""
     ratio = args.large / args.small
-    pages_small = args.pages
-    pages_large = int(args.pages * ratio) if name == "weak" else args.pages
+    # highcard/skew: STRONG scaling over the high-cardinality corpus —
+    # hundreds of distinct entities, so the node/edge stages carry real key
+    # cardinality (and web-like hot keys at alpha=1.1); the richer gazetteer
+    # regex also makes per-page extraction heavier, like a real NER pass.
+    # Page count scales down accordingly (--zipf-pages).
+    corpus, alpha = {"highcard": ("zipf", 0.0),
+                     "skew": ("zipf", 1.1)}.get(name, ("default", 0.0))
+    pages = args.zipf_pages if corpus == "zipf" else args.pages
+    pages_small = pages
+    pages_large = int(pages * ratio) if name == "weak" else pages
     parts_small = args.partitions
     parts_large = (int(args.partitions * ratio) if name == "weak"
                    else args.partitions)
@@ -538,13 +585,13 @@ def measure_variant(name: str, args) -> dict:
         path_small = path_large = None
     else:
         path_small = materialize_corpus(pages_small, parts_small,
-                                        args.text_scale)
+                                        args.text_scale, corpus, alpha)
         path_large = materialize_corpus(pages_large, parts_large,
-                                        args.text_scale)
+                                        args.text_scale, corpus, alpha)
     levels = [run_level(args.small, pages_small, parts_small,
-                        args.repeats, path_small),
+                        args.repeats, path_small, corpus, alpha),
               run_level(args.large, pages_large, parts_large,
-                        args.repeats, path_large)]
+                        args.repeats, path_large, corpus, alpha)]
     thr_ratio = (levels[1]["pages_per_sec"] / levels[0]["pages_per_sec"])
     if name == "weak":
         eff = levels[0]["wall_sec"] / levels[1]["wall_sec"]
@@ -555,6 +602,8 @@ def measure_variant(name: str, args) -> dict:
     return {
         "name": name,
         "kind": "weak" if name == "weak" else "strong",
+        "corpus": corpus,
+        "alpha": alpha,
         "levels": levels,
         "speedup": round(speedup, 3),
         "throughput_ratio": round(thr_ratio, 3),
@@ -584,6 +633,16 @@ def main() -> None:
     # between identical runs) to give a reproducible number.
     ap.add_argument("--text-scale", type=int, default=1)
     ap.add_argument("--pages-path", default=None)
+    ap.add_argument("--corpus", default="default",
+                    choices=["default", "zipf"])
+    ap.add_argument("--alpha", type=float, default=0.0,
+                    help="Zipf skew exponent for --corpus zipf")
+    ap.add_argument("--zipf-pages", type=int,
+                    default=int(os.environ.get("SPARK_SCALE_ZIPF_PAGES",
+                                               "384000")),
+                    help="page count for the highcard/skew variants (their "
+                         "richer gazetteer makes extraction ~2-4x heavier "
+                         "per page)")
     # Variants: `parquet` reads a pre-materialized table (production scan
     # shape — the ENGINE-only number, the official one); `fused` generates
     # pages inside the measured job, standing in for heavy per-row extractors
@@ -599,7 +658,8 @@ def main() -> None:
 
     if args.worker:
         print(json.dumps(worker(args.cores, args.pages, args.partitions,
-                                args.text_scale, args.pages_path)))
+                                args.text_scale, args.pages_path,
+                                args.corpus, args.alpha)))
         return
     if args.worker_incremental:
         print(json.dumps(worker_incremental(
