@@ -413,16 +413,21 @@ def ivf_assign(
 
 
 def ivf_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
-                  seed: int = 7, id_col: str = "vec_id") -> "np.ndarray":
-    """Seeded-sample centroids (k-means|| would refine these on a real run;
-    random sample is the standard cheap initialization and is adequate for
-    coarse IVF cells).
+                  seed: int = 7, id_col: str = "vec_id",
+                  lloyd_iters: int = 1) -> "np.ndarray":
+    """Seeded-sample initialization + ``lloyd_iters`` distributed k-means
+    refinement steps (VERDICT r3 #7: pure sampled init gives unbalanced
+    cells on clustered data — two seeds landing in one tight cluster leave
+    another cluster to pile onto a single far centroid; one assign+mean
+    pass bounds the worst cell, tested on a clustered fixture in
+    tests/test_similarity.py).
 
-    Two-phase so the sampling scan never touches the embedding column:
-    phase 1 TakeOrders k winners by xxhash64(id) reading ONLY the id column
-    (parquet column pruning — a long per row, not a 64-dim array cast to
-    string as before); phase 2 fetches just those k embeddings via a
-    broadcast semi-join."""
+    Initialization is two-phase so the sampling scan never touches the
+    embedding column: phase 1 TakeOrders k winners by xxhash64(id) reading
+    ONLY the id column (parquet column pruning); phase 2 fetches just those
+    k embeddings via a broadcast semi-join. Each Lloyd step is one
+    distributed assign (mapInPandas GEMM) + one JVM-side posexplode/avg
+    aggregation; only the k mean vectors ever reach the driver."""
     winners = (
         df.select(F.col(id_col).cast("long").alias("_cid"))
         .orderBy(F.xxhash64(F.col("_cid"), F.lit(seed)))
@@ -434,7 +439,35 @@ def ivf_centroids(df: DataFrame, k: int, vec_col: str = "embedding",
         .orderBy("_cid")
         .collect()
     )
-    return np.array([r[1] for r in rows], dtype=np.float64)
+    cents = np.array([r[1] for r in rows], dtype=np.float64)
+    for _ in range(max(0, lloyd_iters)):
+        cents = _lloyd_step(df, cents, vec_col, id_col)
+    return cents
+
+
+def _lloyd_step(df: DataFrame, centroids: "np.ndarray", vec_col: str,
+                id_col: str) -> "np.ndarray":
+    """One distributed k-means step under the cosine assignment: hard-assign
+    every vector to its nearest current centroid (ivf_assign, n_probe=1),
+    recompute each cell's component-wise mean JVM-side (posexplode + avg —
+    vectors never collect; exactly k*dim scalars reach the driver). Empty
+    cells keep their previous centroid so k never shrinks."""
+    dim = centroids.shape[1]
+    assign = ivf_assign(df, centroids, vec_col, id_col, n_probe=1)
+    comp = (
+        assign.join(df.select(F.col(id_col).cast("long").alias(id_col),
+                              F.col(vec_col)), id_col)
+        .select("cell", F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    out = centroids.copy()
+    acc: dict[int, np.ndarray] = {}
+    for r in comp:
+        acc.setdefault(r["cell"], np.zeros(dim))[r["pos"]] = r["m"]
+    for cell, vec in acc.items():
+        out[cell] = vec
+    return out
 
 
 def ann_ivf_topk(

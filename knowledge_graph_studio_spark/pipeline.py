@@ -180,6 +180,52 @@ def build_graph_resumable(
     }
 
 
+def refresh_ann_index(
+    spark: SparkSession, workdir: str, edges: DataFrame,
+    mode: str = "extend", n_planes: int = 4, n_tables: int = 16,
+    seed: int = 7,
+):
+    """Keep the Entry C ANN index in step with the latest committed edge
+    table (VERDICT r3 #5: update_graph_incremental used to leave the index
+    stale, so post-update edges could never become text-query candidates
+    and recall silently degraded).
+
+    mode="extend": embed + bucket ONLY edges whose edge_id is absent from
+    the stored index and append them (plans/query.EdgeAnnIndex.extend) —
+    exact for the incremental path, whose pattern-extracted edges have
+    stable verbalizations; an edge whose embedding changed IN PLACE (inputs
+    that mutate verbalized properties) keeps old buckets, so callers with
+    property-mutating upserts should pass mode="rebuild" (full re-embed).
+
+    The refreshed index is written next to the tables ({workdir}/ann_index)
+    via a write-new-then-swap (the union plan reads the old parquet, so an
+    in-place overwrite would read its own output; an Iceberg deployment
+    would make this a snapshot commit). NOTE: previously loaded EdgeAnnIndex
+    handles reference the swapped-out files and must be re-loaded after a
+    refresh. Returns the freshly loaded index."""
+    import os
+    import shutil
+
+    from .functions.embeddings import embed_edges
+    from .plans.query import EdgeAnnIndex
+
+    path = f"{workdir}/ann_index"
+    if mode == "extend" and os.path.exists(f"{path}_meta"):
+        idx = EdgeAnnIndex.load(spark, path)
+        new = edges.join(idx.index_df.select("edge_id").distinct(),
+                         "edge_id", "left_anti")
+        idx = idx.extend(embed_edges(new).localCheckpoint(eager=False))
+    else:
+        idx = EdgeAnnIndex.build(embed_edges(edges), n_planes=n_planes,
+                                 n_tables=n_tables, seed=seed)
+    tmp = f"{path}_next"
+    idx.save(tmp)
+    for suffix in ("", "_meta"):
+        shutil.rmtree(f"{path}{suffix}", ignore_errors=True)
+        os.rename(f"{tmp}{suffix}", f"{path}{suffix}")
+    return EdgeAnnIndex.load(spark, path)
+
+
 def _committed_versions(manifest: RunManifest) -> list[dict]:
     return sorted(
         (r for r in manifest.records()
@@ -215,6 +261,8 @@ def update_graph_incremental(
     created_by: str = "default",
     max_chunks: int | None = None,
     max_prop_vals: int | None = None,
+    ann_index: bool = False,
+    ann_mode: str = "extend",
 ) -> dict:
     """The reference's UPDATE path at scale: extract only NEW crawl segments,
     build delta nodes/edges from just their triples, and UPSERT onto the last
@@ -313,6 +361,13 @@ def update_graph_incremental(
         manifest.commit("table_version", k, t0,
                         segments=sorted(included | set(new_segs)),
                         nodes=n_nodes, edges=n_edges)
+        if ann_index:
+            # keep the Entry C text-query index in step with this version
+            # (VERDICT r3 #5); see refresh_ann_index for the extend/rebuild
+            # exactness contract
+            refresh_ann_index(spark, workdir,
+                              read_table(spark, f"{workdir}/edges_v{k}"),
+                              mode=ann_mode)
     except Exception as exc:
         status.set(graph, "failed", errors=[f"{type(exc).__name__}: {exc}"])
         raise

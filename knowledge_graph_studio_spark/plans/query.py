@@ -249,36 +249,80 @@ class EdgeAnnIndex:
                    m["n_tables"], m["seed"])
 
     def candidate_ids(self, query_vec,
-                      max_candidates: int = ANN_MAX_CANDIDATES) -> list[int]:
+                      max_candidates: int = ANN_MAX_CANDIDATES,
+                      allowed: DataFrame | None = None) -> list[int]:
         """Driver-side bounded candidate fetch: n_tables literal keys ->
-        pushed IN filter -> distinct edge ids, capped deterministically (by
-        id) at max_candidates. The collect is bounded by the cap — the exact
-        analog of the reference pulling numCandidates ids from Atlas."""
+        pushed IN filter -> candidate edge ids RANKED BY COLLISION COUNT
+        (how many of the n_tables the edge shares with the query — the
+        standard multi-probe LSH proxy for similarity; ties break by
+        edge_id), capped at max_candidates. The collect is bounded by the
+        cap — the exact analog of the reference pulling numCandidates ids
+        from Atlas.
+
+        ``allowed`` (ADVICE r3): an optional DataFrame with an ``edge_id``
+        column (e.g. the structured prefilter's output). Index hits are
+        SEMI-JOINED against it BEFORE ranking/capping, mirroring how Atlas
+        $vectorSearch applies its filter inside the index search — without
+        this, a selective prefilter could see its survivors pushed out of
+        the cap by ineligible edges and recall would silently collapse.
+
+        An earlier version capped by plain edge_id order, which kept the
+        LOWEST ids rather than the most-promising candidates; collision-
+        count ranking keeps top-k recall stable when probed buckets
+        overflow the cap."""
         from ..operators.similarity import lsh_query_keys
 
         keys = [(t << _TB_SHIFT) | b for t, b in
                 lsh_query_keys(query_vec, self.n_planes, self.n_tables,
                                self.seed)]
+        hits = self.index_df.filter(F.col("tb_key").isin(keys))
+        if allowed is not None:
+            hits = hits.join(allowed.select("edge_id"), "edge_id",
+                             "left_semi")
         rows = (
-            self.index_df.filter(F.col("tb_key").isin(keys))
-            .select("edge_id").distinct()
-            .orderBy("edge_id").limit(max_candidates)
+            hits.groupBy("edge_id")
+            .agg(F.count("*").alias("_ncoll"))
+            .orderBy(F.desc("_ncoll"), F.asc("edge_id"))
+            .limit(max_candidates)
             .collect()
         )
-        return [r[0] for r in rows]
+        return [r["edge_id"] for r in rows]
+
+    def extend(self, new_edges_embedded: DataFrame) -> "EdgeAnnIndex":
+        """Append-only delta update (VERDICT r3 #5): bucket ONLY the new
+        edges with the SAME planes (n_planes/n_tables/seed) and union them
+        into the index. Exact for new edge_ids; an edge whose EMBEDDING
+        changed in place (possible only for inputs whose verbalization
+        includes mutated properties) keeps its old buckets — use a full
+        rebuild for those (pipeline.refresh_ann_index(mode="rebuild"))."""
+        from ..operators.similarity import lsh_bucket_keys
+
+        keyed = lsh_bucket_keys(new_edges_embedded, "embedding", "edge_id",
+                                self.n_planes, self.n_tables, self.seed)
+        new_idx = keyed.select(
+            "edge_id",
+            (F.shiftleft(F.col("table_id").cast("long"), _TB_SHIFT)
+             + F.col("bucket")).alias("tb_key"),
+        )
+        n_new = new_edges_embedded.count()
+        return EdgeAnnIndex(self.index_df.unionByName(new_idx),
+                            self.n_rows + n_new, self.n_planes,
+                            self.n_tables, self.seed)
 
 
 def similarity_search_indexed(
     edges_with_embedding: DataFrame, query_text: str, index: EdgeAnnIndex,
     k: int = 64, max_candidates: int = ANN_MAX_CANDIDATES,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ANN variant of similarity_search: probe the precomputed index for a
     bounded candidate id set, then exact-score ONLY those rows (the id filter
     is a literal IN that parquet pushes down — the embedding column is never
     evaluated over the full table). Same output contract as
-    similarity_search."""
+    similarity_search. ``allowed`` restricts candidates BEFORE the cap
+    (pass the structured prefilter's edges — see candidate_ids)."""
     qv = [float(x) for x in embed_text(query_text, TRIPLE_DIM)]
-    cand = index.candidate_ids(qv, max_candidates)
+    cand = index.candidate_ids(qv, max_candidates, allowed=allowed)
     qcol = F.array(*[F.lit(x) for x in qv])
     scored = (
         edges_with_embedding.filter(F.col("edge_id").isin(cand))
@@ -550,8 +594,17 @@ def _query_graph(nodes, edges, params, edges_embedded,
             "edge_id", "inner")
 
     if ann_index is not None and ann_index.n_rows > ann_exact_max_rows:
-        top = similarity_search_indexed(emb, params.content, ann_index,
-                                        k=params.limit)
+        # when a structured prefilter ran, intersect index hits with the
+        # surviving edges BEFORE the candidate cap (ADVICE r3: the index is
+        # built over the full edge table, so a selective prefilter would
+        # otherwise see its survivors crowded out of the cap — Atlas
+        # $vectorSearch applies the filter inside the index for the same
+        # reason)
+        prefiltered = bool(params.entities or params.values
+                           or params.relations)
+        top = similarity_search_indexed(
+            emb, params.content, ann_index, k=params.limit,
+            allowed=filtered.select("edge_id") if prefiltered else None)
     else:
         top = similarity_search(emb, params.content, k=params.limit)
     relevant = relevance_filter(top, params.content)

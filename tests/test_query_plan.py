@@ -273,3 +273,99 @@ def test_hydrate_chunk_contents_empty_and_null_arrays(spark, graph):
     assert set(rows) == {1, 2, 3}
     assert rows[2] == [] and rows[3] == []
     assert rows[1] == [None]  # unknown chunk id: joined content is NULL
+
+
+def test_ann_candidates_rank_by_collisions_and_respect_prefilter(spark, graph):
+    """ADVICE r3: candidate_ids ranks by per-table collision count (the
+    multi-probe LSH similarity proxy) instead of plain edge_id order, and an
+    ``allowed`` set (the structured prefilter's edges) intersects BEFORE the
+    cap — a selective prefilter can no longer have its survivors crowded out
+    of the candidate pool by ineligible lower-id edges."""
+    from knowledge_graph_studio_spark.functions.embedding_core import (
+        TRIPLE_DIM, embed_text,
+    )
+    from knowledge_graph_studio_spark.functions.embeddings import embed_edges
+    from knowledge_graph_studio_spark.operators.similarity import (
+        lsh_query_keys,
+    )
+    from knowledge_graph_studio_spark.plans.query import (
+        _TB_SHIFT, EdgeAnnIndex,
+    )
+
+    emb = embed_edges(graph["edges"]).persist()
+    idx = EdgeAnnIndex.build(emb, n_planes=2, n_tables=8)
+    qv = [float(x) for x in embed_text("who runs Globex?", TRIPLE_DIM)]
+    full = idx.candidate_ids(qv, max_candidates=100000)
+    assert full, "query must collide somewhere at n_planes=2"
+
+    # collision counts recomputed independently from the index table
+    keys = [(t << _TB_SHIFT) | b for t, b in lsh_query_keys(qv, 2, 8, 7)]
+    coll = {r["edge_id"]: r["n"] for r in
+            idx.index_df.filter(F.col("tb_key").isin(keys))
+            .groupBy("edge_id").agg(F.count("*").alias("n")).collect()}
+    capped = idx.candidate_ids(qv, max_candidates=3)
+    assert len(capped) == 3 and set(capped) <= set(full)
+    floor = min(coll[e] for e in capped)
+    assert all(coll[e] <= floor or e in capped for e in full), \
+        "cap must keep the highest-collision candidates"
+
+    # prefilter: an eligible edge that plain id-ordered capping would have
+    # dropped (the max-id candidate) must survive a cap of 1 when it is the
+    # only allowed edge
+    eid = max(full)
+    allowed = spark.createDataFrame([(eid,)], "edge_id long")
+    assert idx.candidate_ids(qv, max_candidates=1, allowed=allowed) == [eid]
+    emb.unpersist()
+
+
+def test_ann_index_refresh_after_incremental_update(spark, tmp_path):
+    """VERDICT r3 #5: update_graph_incremental(ann_index=True) refreshes the
+    persisted Entry C index, so edges minted by the update are reachable
+    through the INDEXED text path; the pre-update index provably lacks
+    them."""
+    from knowledge_graph_studio_spark.functions.embeddings import embed_edges
+    from knowledge_graph_studio_spark.pipeline import update_graph_incremental
+    from knowledge_graph_studio_spark.plans.query import EdgeAnnIndex
+    from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+    src, wd = str(tmp_path / "pages"), str(tmp_path / "wd")
+    synthetic_pages(spark, 120, seed=42).write.parquet(f"{src}/segment=s0")
+    v0 = update_graph_incremental(spark, src, wd, ann_index=True)
+    idx0 = EdgeAnnIndex.load(spark, f"{wd}/ann_index")
+    assert idx0.n_rows == v0["edges"].count()
+    # materialize BEFORE the next refresh swaps the index directory out
+    # from under this handle (refresh_ann_index docstring)
+    idx0_ids = {r["edge_id"]
+                for r in idx0.index_df.select("edge_id").distinct().collect()}
+
+    synthetic_pages(spark, 120, seed=77).write.parquet(f"{src}/segment=s1")
+    v1 = update_graph_incremental(spark, src, wd, ann_index=True)
+    idx1 = EdgeAnnIndex.load(spark, f"{wd}/ann_index")
+    assert idx1.n_rows == v1["edges"].count()
+    assert (idx1.n_planes, idx1.n_tables, idx1.seed) == (
+        idx0.n_planes, idx0.n_tables, idx0.seed)
+
+    old_ids = {r["edge_id"] for r in v0["edges"].select("edge_id").collect()}
+    new = [r for r in v1["edges"].select("edge_id").collect()
+           if r["edge_id"] not in old_ids]
+    assert new, "update must mint at least one new edge"
+    new_ids = {r["edge_id"] for r in new}
+
+    # new edges are bucketed in the refreshed index and absent from the old
+    idx1_ids = {r["edge_id"]
+                for r in idx1.index_df.select("edge_id").distinct().collect()}
+    assert new_ids <= idx1_ids
+    assert not (new_ids & idx0_ids)
+
+    # and a post-update edge is reachable END-TO-END through the indexed
+    # search: query with its own verbalization, force the indexed path
+    from knowledge_graph_studio_spark.plans.query import (
+        similarity_search_indexed,
+    )
+
+    emb = embed_edges(v1["edges"]).persist()
+    target = emb.filter(F.col("edge_id").isin(sorted(new_ids)[:1])) \
+        .select("edge_id", "verbalized").collect()[0]
+    got = similarity_search_indexed(emb, target["verbalized"], idx1, k=8)
+    assert target["edge_id"] in {r["edge_id"] for r in got.collect()}
+    emb.unpersist()
