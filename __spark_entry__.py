@@ -6,8 +6,12 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementations live in ``knowledge_graph_studio_spark.driver_contract``;
-entries without an oracle (iterative CC, MinHash banding, the synthetic-pages
-KG pipeline) get the driver's rows-only check and are law-tested in tests/.
+the 4 remaining entries without an oracle (float-geometry top-k paths
+kg_triple_topk / kg_query_text and the numpy-hyperplane ANN paths
+ann_lsh_topk / ann_ivf_topk) get the driver's rows-only check, are
+law-tested in tests/, and each has an oracle-paired hashed or structured
+twin exercising the same plan operators. The flagship kg_pipeline_nodes /
+kg_pipeline_edges entries are ORACLE-PAIRED as of round 4.
 """
 
 from __future__ import annotations
