@@ -129,6 +129,29 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
     spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
 
+    # high-cardinality variant (r4): the same full construction over the
+    # 544-entity Zipf corpus (web-like hot keys, alpha=1.1) at 1/4 the page
+    # count — its richer gazetteer makes per-page extraction ~3-4x heavier,
+    # and the node/edge aggregation carries real key cardinality instead of
+    # the default corpus' 38-entity tail
+    from knowledge_graph_studio_spark.corpus import zipf_config
+    from knowledge_graph_studio_spark.sources.pages import synthetic_pages_zipf
+
+    zschema, zgaz, _ = zipf_config()
+    zpages = max(n_pages // 4, 1000)
+    t0 = time.time()
+    outz = build_graph(
+        spark, synthetic_pages_zipf(spark, zpages, seed=42,
+                                    partitions=cores * 2, alpha=1.1),
+        schema=zschema, gazetteer=zgaz, rules=[],
+        max_chunks=2048, max_prop_vals=2048)
+    n_triples_z = outz["triples"].count()
+    n_edges_z = outz["edges"].count()
+    n_nodes_z = outz["nodes"].count()
+    kg_zipf_sec = time.time() - t0
+    timings["kg_pipeline_zipf"] = round(kg_zipf_sec, 3)
+    t_suite += kg_zipf_sec
+
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": round(t_suite, 3),
@@ -144,6 +167,12 @@ def main() -> None:
         "kg_pages_per_sec": round(n_pages / kg_sec, 2),
         "kg_engine_triples_per_sec": round(n_triples2 / kg_engine_sec, 2),
         "kg_engine_pages_per_sec": round(n_pages / kg_engine_sec, 2),
+        "kg_zipf_pages": zpages,
+        "kg_zipf_triples": n_triples_z,
+        "kg_zipf_nodes": n_nodes_z,
+        "kg_zipf_edges": n_edges_z,
+        "kg_zipf_triples_per_sec": round(n_triples_z / kg_zipf_sec, 2),
+        "kg_zipf_pages_per_sec": round(zpages / kg_zipf_sec, 2),
     }))
     spark.stop()
 

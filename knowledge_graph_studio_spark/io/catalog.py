@@ -339,9 +339,78 @@ class QueryLog:
         return deleted
 
 
+# --------------------------------------------------------------------------- #
+# Table backend selector (VERDICT r3 stretch #8). Default "parquet" is the
+# fully exercised sandbox backend; "iceberg" routes through the public
+# Iceberg Spark API (DataFrameWriterV2 / catalog reads) and requires the
+# iceberg-spark-runtime jars + a configured catalog, which this sandbox
+# cannot install — selecting it without them fails with Spark's own
+# catalog-not-found error at first use, never silently.
+#
+# Exact table-by-table mapping for an Iceberg deployment:
+#   * pages (input)            CREATE TABLE db.pages ... PARTITIONED BY
+#                              (bucket(N, url)) — the url-hash bucketing
+#                              build_graph_resumable does manually becomes
+#                              the table's layout, and per-bucket extraction
+#                              reads are partition-pruned scans.
+#   * triples bucket commits   each bucket's output appends in ONE Iceberg
+#                              snapshot with the bucket id recorded in the
+#                              snapshot summary; RunManifest.committed()
+#                              becomes a read of the snapshot log, and a
+#                              crashed bucket (no snapshot) is retried
+#                              idempotently exactly like the parquet path.
+#   * nodes/edges versions     one table instead of nodes_v{k} dirs;
+#                              upsert_nodes/upsert_edges become
+#                              MERGE INTO nodes USING delta
+#                                ON nodes.node_id = delta.node_id
+#                                WHEN MATCHED THEN UPDATE SET <the same
+#                                  merge-law Column expressions: props
+#                                  map-merge, chunks array-union + cap,
+#                                  counters summed>
+#                                WHEN NOT MATCHED THEN INSERT *
+#                              and current_tables() reads VERSION AS OF /
+#                              the snapshot log instead of the manifest's
+#                              table_version records.
+#   * GraphStatus / QueryLog   plain rows, one snapshot per transition;
+#                              prune() maps to DELETE FROM ... WHERE
+#                              finished_at < ts plus expire_snapshots for
+#                              physical cleanup (the TTL the reference gets
+#                              from Mongo's task-collection TTL index).
+# --------------------------------------------------------------------------- #
+
+_VALID_BACKENDS = ("parquet", "iceberg")
+_TABLE_BACKEND = os.environ.get("KGS_TABLE_BACKEND", "parquet")
+
+
+def set_table_backend(name: str) -> None:
+    """Select the table backend ("parquet" | "iceberg") for read_table/
+    write_table; also settable via $KGS_TABLE_BACKEND before import."""
+    global _TABLE_BACKEND
+    if name not in _VALID_BACKENDS:
+        raise ValueError(f"unknown table backend {name!r}; "
+                         f"expected one of {_VALID_BACKENDS}")
+    _TABLE_BACKEND = name
+
+
+def table_backend() -> str:
+    return _TABLE_BACKEND
+
+
 def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).parquet(path)
+    """Write a table. parquet: ``path`` is a directory. iceberg: ``path``
+    is a catalog identifier (e.g. "cat.db.nodes") written via the V2 API
+    (createOrReplace = one atomic snapshot; append = snapshot commit)."""
+    if _TABLE_BACKEND == "iceberg":
+        w = df.writeTo(path)
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+    else:
+        df.write.mode(mode).parquet(path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    if _TABLE_BACKEND == "iceberg":
+        return spark.read.format("iceberg").load(path)
     return spark.read.parquet(path)

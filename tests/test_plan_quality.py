@@ -145,3 +145,30 @@ def test_hashed_topk_broadcasts_query_vector(spark, sf_dir):
     plan2 = _plan(q_dedup_ngram_jaccard(spark, sf_dir))
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_build_nodes_fused_tree_has_no_join(spark):
+    """r4 fused aggregation (linking._kv_entries): the node materialization
+    is ONE salted aggregation tree — chunks and properties ride the same
+    exploded rows — so its physical plan must contain NO join at all (the
+    pre-r4 shape joined a chunks tree to a props tree; at 100 TB that was a
+    second shuffle of the same exploded data plus a join exchange)."""
+    from knowledge_graph_studio_spark.operators.linking import (
+        build_edges, build_nodes,
+    )
+
+    # rules=[] keeps the upstream L1 broadcast rewrite out of the lineage so
+    # the assertion isolates the aggregation's own plan
+    triples = triples_from_pages(spark, synthetic_pages(spark, 60, seed=3),
+                                 rules=[])
+    nodes = build_nodes(triples)
+    plan = _plan(nodes)
+    assert "Join" not in plan, plan
+    # and the salted two-phase shape is present (3 aggregation exchanges)
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+    # edges: the ONLY joins are the two node-chunk-set lookups of the L4
+    # intersection law — the chunk/props aggregation itself is join-free
+    edges = build_edges(triples, nodes)
+    eplan = _plan(edges)
+    assert eplan.count("Join") == 2, eplan

@@ -133,3 +133,19 @@ def test_querylog_prune_keeps_pending_and_ids_advance(spark, tmp_path):
     # empty-dir df() shape
     empty = QueryLog(str(tmp_path / "fresh"))
     assert empty.df(spark).count() == 0
+
+
+def test_table_backend_selector():
+    """The backend knob validates names, defaults to parquet, and round-trips
+    (the iceberg branch needs runtime jars this sandbox lacks — selecting it
+    fails at first catalog use with Spark's own error, never silently)."""
+    from knowledge_graph_studio_spark.io import catalog as cat
+
+    assert cat.table_backend() == "parquet"
+    try:
+        cat.set_table_backend("iceberg")
+        assert cat.table_backend() == "iceberg"
+    finally:
+        cat.set_table_backend("parquet")
+    with pytest.raises(ValueError):
+        cat.set_table_backend("delta")
