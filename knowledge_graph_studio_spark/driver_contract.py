@@ -378,6 +378,55 @@ def q_embedding_neardup(spark, sf):
     return cosine_allpairs(e, threshold=0.4, collapse_exact="auto")
 
 
+def q_boilerplate_strip(spark, sf):
+    """CCNet/C4-style line-level boilerplate removal (operators/cleaning.
+    strip_boilerplate): pages are built from `documents` with three planted
+    boilerplate lines (a nav bar + footer on every page, a cookie banner in
+    20% of pages) around a unique content line; lines with document
+    frequency > 5% must go. The oracle reproduces the SAME generic pipeline
+    (line df -> anti join -> ordered reassembly) in SQL, so the Spark plan's
+    broadcast-anti-join + posexplode regroup is value-checked end-to-end."""
+    from .operators.cleaning import strip_boilerplate
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV home about contact"),
+            F.substring("text", 1, 80),
+            F.concat(F.lit("Cookie notice site "),
+                     (F.col("doc_id") % 5).cast("string")),
+            F.lit("COPYRIGHT footer"),
+        ).alias("text"),
+    )
+    return strip_boilerplate(pages, max_df_frac=0.05).select(
+        "doc_id", "clean_text", "n_kept", "n_dropped")
+
+
+def q_url_canonicalize(spark, sf):
+    """URL canonicalization + URL-level dedup grouping (operators/cleaning.
+    canonical_url_col / url_dedup_groups): four crawl variants of each
+    resource (plain, uppercased host, default port + utm param, fragment +
+    mixed params) must collapse onto the GROUND-TRUTH canonical the oracle
+    computes directly from doc_id arithmetic — the regex normalization chain
+    is checked against an independent expectation, not against itself."""
+    from .operators.cleaning import url_dedup_groups
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    k = (F.col("doc_id") % 50).cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("http://example.com/p/"), k))
+        .when(m == 1, F.concat(F.lit("HTTP://EXAMPLE.COM/p/"), k))
+        .when(m == 2, F.concat(F.lit("http://example.com:80/p/"), k,
+                               F.lit("?utm_source=email")))
+        .otherwise(F.concat(F.lit("http://example.com/p/"), k,
+                            F.lit("?utm_campaign=x&ref=1#frag")))
+    )
+    return url_dedup_groups(d.select(url.alias("url")))
+
+
 def q_lang_id(spark, sf):
     """Language-ID heuristic (operators/textstats.lang_id)."""
     from .operators.textstats import lang_id
@@ -1011,6 +1060,8 @@ QUERIES: dict[str, _T] = {
     "kg_workspace_tags": q_kg_workspace_tags,
     "regex_search": q_regex_search,
     "match_improvement": q_match_improvement,
+    "boilerplate_strip": q_boilerplate_strip,
+    "url_canonicalize": q_url_canonicalize,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1578,6 +1629,57 @@ ORACLE_SQL["kg_pipeline_nodes"] = _PIPELINE_CTE + """
     )
     select n.name, n.type, n.chunks, m.mention_count, n.chunk_count
     from nagg n join ment m on m.name = n.name and m.type = n.type"""
+
+ORACLE_SQL["boilerplate_strip"] = """
+    with lines as (
+      select doc_id, 1 as pos, 'NAV home about contact' as line
+      from documents
+      union all
+      select doc_id, 2, substr(text, 1, 80) from documents
+      union all
+      select doc_id, 3, 'Cookie notice site ' || cast(doc_id % 5 as varchar)
+      from documents
+      union all
+      select doc_id, 4, 'COPYRIGHT footer' from documents
+    ), hot as (
+      select line from lines group by line
+      having count(distinct doc_id)
+             > 0.05 * (select count(*) from documents)
+    ), kept as (
+      select l.doc_id, l.pos, l.line
+      from lines l anti join hot h on l.line = h.line
+    ), agg as (
+      select doc_id, string_agg(line, chr(10) order by pos) as clean_text,
+             count(*) as n_kept
+      from kept group by doc_id
+    ), tot as (
+      select doc_id, count(*) as n_lines from lines group by doc_id
+    )
+    select t.doc_id, coalesce(a.clean_text, '') as clean_text,
+           coalesce(a.n_kept, 0) as n_kept,
+           t.n_lines - coalesce(a.n_kept, 0) as n_dropped
+    from tot t left join agg a on a.doc_id = t.doc_id"""
+
+# ground-truth canonical computed straight from doc_id arithmetic — the
+# Spark side must land on it through the regex normalization chain
+ORACLE_SQL["url_canonicalize"] = """
+    with u as (
+      select doc_id,
+        case cast(doc_id % 4 as integer)
+          when 0 then 'http://example.com/p/' || cast(doc_id % 50 as varchar)
+          when 1 then 'HTTP://EXAMPLE.COM/p/' || cast(doc_id % 50 as varchar)
+          when 2 then 'http://example.com:80/p/'
+                      || cast(doc_id % 50 as varchar) || '?utm_source=email'
+          else 'http://example.com/p/' || cast(doc_id % 50 as varchar)
+               || '?utm_campaign=x&ref=1#frag'
+        end as url,
+        'http://example.com/p/' || cast(doc_id % 50 as varchar)
+          || case when doc_id % 4 = 3 then '?ref=1' else '' end as canon
+      from documents
+    )
+    select canon as canonical_url, count(*) as n_variants,
+           min(url) as first_variant
+    from u group by canon"""
 
 ORACLE_SQL["kg_pipeline_edges"] = _PIPELINE_CTE + """
     , ekeys as (

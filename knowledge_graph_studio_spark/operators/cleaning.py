@@ -1,0 +1,135 @@
+"""Crawl-cleaning operators for the training-data pipeline: line-level
+boilerplate removal and URL canonicalization.
+
+These extend the LLM-data-pipeline family (dedup / similarity / textstats)
+with the two cleaning steps every web-corpus pipeline runs before them:
+
+  * ``strip_boilerplate`` — drop lines that repeat across a large fraction
+    of documents (nav bars, cookie banners, footers). This is the
+    line-frequency cleaning popularized by the public C4 and CCNet corpus
+    pipelines (C4 discards boilerplate lines like "javascript required";
+    CCNet deduplicates at paragraph-hash level across shards).
+  * ``canonicalize_urls`` — normalize URLs (case-fold scheme+host, strip
+    fragments, default ports and tracking parameters) so URL-level dedup
+    groups the same resource's crawl variants together.
+
+Scale notes:
+  * strip_boilerplate is two shuffles + a broadcast anti-join. The hot-line
+    set is bounded by construction: a line must occur in > frac*N docs to
+    qualify, so there are at most (total line occurrences)/(frac*N) distinct
+    hot lines ~ lines_per_doc/frac — thousands, not corpus-sized — which is
+    exactly the shape of dedup.cap_shingle_df's guard and safely broadcast.
+  * canonicalize_urls is pure codegen'd regexp projection — no shuffle; the
+    grouped variant adds one aggregation keyed by the canonical url.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_df_frac: float = 0.05,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Remove lines occurring in more than ``max_df_frac`` of all documents.
+
+    Returns (id_col, clean_text, n_kept, n_dropped) — one row per input
+    document, line order preserved, ``clean_text`` = surviving lines joined
+    by ``sep`` ('' when every line was boilerplate).
+
+    Plan: split -> posexplode to (id, pos, line); line document frequencies
+    via one groupBy; the hot set (df > frac*N) comes back as a broadcast
+    LEFT ANTI filter (bounded — see module docstring); surviving lines
+    regroup by id sorted by pos. ``n_docs`` skips the count job when the
+    caller already knows the table size."""
+    if n_docs is None:
+        n_docs = docs.count()
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_df_frac * n_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(hot), "line", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("_n_lines"))
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_dropped"),
+        )
+    )
+
+
+# tracking parameters stripped by canonicalize_urls (the public utm_* family
+# plus the common click identifiers)
+_TRACKING = r"(utm_[^=&#]*|gclid|fbclid|msclkid)"
+
+
+def canonical_url_col(url) -> F.Column:
+    """Column expression: canonical form of a URL.
+
+    Normalizations (each a plain regexp, so the DuckDB oracle reproduces
+    them exactly):
+      1. strip the fragment (#...)
+      2. lowercase scheme://host (path/query case is preserved — paths are
+         case-sensitive on most servers)
+      3. drop default ports (http://...:80, https://...:443)
+      4. remove tracking query parameters (utm_*, gclid, fbclid, msclkid),
+         tidying the remaining delimiters
+    """
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme_host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    # rest = u with the scheme_host prefix removed (scheme_host is '' for
+    # relative URLs, in which case rest == u and the concat is a no-op)
+    rest = F.substring(u, F.length(scheme_host) + F.lit(1), F.length(u))
+    sh = F.lower(scheme_host)
+    sh = F.regexp_replace(sh, r"^(http://[^:/]+):80$", "$1")
+    sh = F.regexp_replace(sh, r"^(https://[^:/]+):443$", "$1")
+    # tracking params: (a) param followed by & keeps the leading delimiter,
+    # (b) trailing param goes together with its own delimiter
+    rest = F.regexp_replace(rest, _TRACKING + r"=[^&#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
+    return F.concat(sh, rest)
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append the canonical form of ``url_col`` (see canonical_url_col)."""
+    return df.withColumn(out_col, canonical_url_col(F.col(url_col)))
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """URL-level dedup view: one row per canonical url with the variant
+    count and the lexicographically-first raw variant as representative."""
+    c = canonicalize_urls(df, url_col)
+    return c.groupBy("canonical_url").agg(
+        F.count("*").alias("n_variants"),
+        F.min(url_col).alias("first_variant"),
+    )

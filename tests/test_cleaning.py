@@ -1,0 +1,71 @@
+"""Crawl-cleaning operator laws: line-level boilerplate removal semantics
+(order preserved, all-boilerplate docs survive as empty rows) and URL
+canonicalization cases (host case-folding, default ports, fragments,
+tracking params in every position)."""
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_studio_spark.operators.cleaning import (
+    canonicalize_urls, strip_boilerplate, url_dedup_groups,
+)
+
+
+def test_strip_boilerplate_semantics(spark):
+    docs = spark.createDataFrame(
+        [(0, "NAV\ncontent zero\nFOOT"), (1, "NAV\ncontent one\nFOOT"),
+         (2, "NAV\ncontent two\nFOOT"), (3, "NAV\nFOOT"),
+         (4, "unique a\nunique b"), (5, "NAV\ncontent five\nFOOT")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           strip_boilerplate(docs, max_df_frac=0.5).collect()}
+    assert len(got) == 6  # every doc emits a row, even all-boilerplate ones
+    assert got[0]["clean_text"] == "content zero"
+    assert got[0]["n_kept"] == 1 and got[0]["n_dropped"] == 2
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0
+    assert got[3]["n_dropped"] == 2
+    # rare lines survive untouched, in order
+    assert got[4]["clean_text"] == "unique a\nunique b"
+    assert got[4]["n_dropped"] == 0
+
+
+def test_strip_boilerplate_threshold_boundary(spark):
+    # a line in exactly max_df_frac of docs is KEPT (strictly-greater drop)
+    docs = spark.createDataFrame(
+        [(i, ("shared\n" if i < 2 else "") + f"own {i}") for i in range(4)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in
+           strip_boilerplate(docs, max_df_frac=0.5).collect()}
+    assert got[0] == "shared\nown 0"  # df 2/4 == 0.5, not > 0.5
+    got2 = {r["doc_id"]: r["clean_text"] for r in
+            strip_boilerplate(docs, max_df_frac=0.49).collect()}
+    assert got2[0] == "own 0"
+
+
+def test_canonicalize_urls_cases(spark):
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://Example.COM:80/Path?utm_source=x&q=1&utm_medium=y#frag",
+         "http://example.com/Path?q=1"),
+        ("https://A.org:443/p?gclid=z", "https://a.org/p"),
+        ("HTTPS://a.ORG/p?utm_campaign=c", "https://a.org/p"),
+        ("http://h.io/p?a=1&fbclid=f&b=2", "http://h.io/p?a=1&b=2"),
+        ("http://h.io:8080/p", "http://h.io:8080/p"),  # non-default port kept
+        ("http://h.io/CaseSensitive/Path", "http://h.io/CaseSensitive/Path"),
+        ("/relative/path?utm_source=x", "/relative/path"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    got = {r["url"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_url_dedup_groups(spark):
+    urls = spark.createDataFrame(
+        [("http://a.io/x",), ("HTTP://A.IO/x#f",),
+         ("http://a.io:80/x?utm_source=s",), ("http://a.io/y",)],
+        "url string")
+    got = {r["canonical_url"]: r for r in url_dedup_groups(urls).collect()}
+    assert got["http://a.io/x"]["n_variants"] == 3
+    assert got["http://a.io/x"]["first_variant"] == "HTTP://A.IO/x#f"
+    assert got["http://a.io/y"]["n_variants"] == 1
