@@ -404,6 +404,37 @@ def q_boilerplate_strip(spark, sf):
         "doc_id", "clean_text", "n_kept", "n_dropped")
 
 
+def q_span_dedup(spark, sf):
+    """C4-style repeated-span removal (operators/cleaning.span_dedup): 25%
+    of the constructed pages embed the same 3-line span between unique
+    lines; every occurrence of a span that appears more than once must go
+    (lead-window spans -> global frequency -> covered-position anti join).
+    The oracle computes the GROUND-TRUTH survivor text arithmetically — by
+    construction the planted span is the only repeated one — so the whole
+    windowed-span mechanism is checked against an independent expectation."""
+    from .operators.cleaning import span_dedup
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    planted = F.col("doc_id") % 4 == 1
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("u"), i, F.lit("a")),
+            F.when(planted, F.lit("SPAN one"))
+            .otherwise(F.concat(F.lit("v"), i, F.lit("b"))),
+            F.when(planted, F.lit("SPAN two"))
+            .otherwise(F.concat(F.lit("v"), i, F.lit("c"))),
+            F.when(planted, F.lit("SPAN three"))
+            .otherwise(F.concat(F.lit("v"), i, F.lit("d"))),
+            F.concat(F.lit("w"), i, F.lit("e")),
+        ).alias("text"),
+    )
+    return span_dedup(pages).select(
+        "doc_id", "clean_text", "n_kept", "n_dropped")
+
+
 def q_url_canonicalize(spark, sf):
     """URL canonicalization + URL-level dedup grouping (operators/cleaning.
     canonical_url_col / url_dedup_groups): four crawl variants of each
@@ -1061,6 +1092,7 @@ QUERIES: dict[str, _T] = {
     "regex_search": q_regex_search,
     "match_improvement": q_match_improvement,
     "boilerplate_strip": q_boilerplate_strip,
+    "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -1659,6 +1691,25 @@ ORACLE_SQL["boilerplate_strip"] = """
            coalesce(a.n_kept, 0) as n_kept,
            t.n_lines - coalesce(a.n_kept, 0) as n_dropped
     from tot t left join agg a on a.doc_id = t.doc_id"""
+
+# ground-truth survivors computed straight from doc_id arithmetic: the
+# planted 3-line span is the ONLY repeated span by construction (all other
+# lines embed the doc_id), so 25% of pages keep exactly their first and
+# last lines and the rest keep all five
+ORACLE_SQL["span_dedup"] = """
+    select doc_id,
+      case when doc_id % 4 = 1
+           then 'u' || cast(doc_id as varchar) || 'a' || chr(10)
+                || 'w' || cast(doc_id as varchar) || 'e'
+           else 'u' || cast(doc_id as varchar) || 'a' || chr(10)
+                || 'v' || cast(doc_id as varchar) || 'b' || chr(10)
+                || 'v' || cast(doc_id as varchar) || 'c' || chr(10)
+                || 'v' || cast(doc_id as varchar) || 'd' || chr(10)
+                || 'w' || cast(doc_id as varchar) || 'e'
+      end as clean_text,
+      cast(case when doc_id % 4 = 1 then 2 else 5 end as bigint) as n_kept,
+      cast(case when doc_id % 4 = 1 then 3 else 0 end as bigint) as n_dropped
+    from documents"""
 
 # ground-truth canonical computed straight from doc_id arithmetic — the
 # Spark side must land on it through the regex normalization chain

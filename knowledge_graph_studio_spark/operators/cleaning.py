@@ -84,6 +84,83 @@ def strip_boilerplate(
     )
 
 
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    span: int = 3,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """C4-style repeated-span removal: any run of ``span`` consecutive units
+    (lines/sentences, as delimited by ``sep``) that occurs more than once in
+    the corpus is removed — EVERY occurrence, as the public C4 pipeline does
+    for its three-sentence spans ("we removed any three-sentence span that
+    occurred more than once").
+
+    Returns (id_col, clean_text, n_kept, n_dropped), unit order preserved.
+
+    Plan: posexplode to (id, pos, unit) -> spans via two lead() windows
+    (one shuffle on id, reused) -> global span-frequency agg -> duplicated
+    spans explode back to their covered unit positions -> distinct removal
+    set -> anti join -> ordered reassembly. ``hash_spans`` groups spans by
+    xxhash64 (production: 8-byte keys shuffle instead of text); False
+    groups by the concatenated span text itself — byte-identical in SQL,
+    which is how the DuckDB contract oracle pairs this operator.
+
+    Scale note: unlike boilerplate's hot set, duplicated spans can be
+    corpus-sized (every mirrored page contributes), so the removal set is
+    JOINED (shuffle on (id, pos)), never broadcast."""
+    units = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "unit"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("unit")] + [F.lead("unit", i).over(w)
+                               for i in range(1, span)]
+    spans = units.select(
+        id_col, "pos",
+        F.concat_ws("\x01", *parts).alias("_span"),
+        parts[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull()).drop("_last")
+    key = F.xxhash64("_span") if hash_spans else F.col("_span")
+    keyed = spans.select(id_col, "pos", key.alias("_k"))
+    dup = (keyed.groupBy("_k").agg(F.count("*").alias("_n"))
+           .filter(F.col("_n") > 1).select("_k"))
+    covered = (
+        keyed.join(dup, "_k")
+        .select(id_col,
+                F.explode(F.sequence(F.col("pos"),
+                                     F.col("pos") + F.lit(span - 1)))
+                .alias("pos"))
+        .distinct()
+    )
+    kept = units.join(covered, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = units.groupBy(id_col).agg(F.count("*").alias("_n_units"))
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n_units") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_dropped"),
+        )
+    )
+
+
 # tracking parameters stripped by canonicalize_urls (the public utm_* family
 # plus the common click identifiers)
 _TRACKING = r"(utm_[^=&#]*|gclid|fbclid|msclkid)"

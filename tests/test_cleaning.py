@@ -69,3 +69,24 @@ def test_url_dedup_groups(spark):
     assert got["http://a.io/x"]["n_variants"] == 3
     assert got["http://a.io/x"]["first_variant"] == "HTTP://A.IO/x#f"
     assert got["http://a.io/y"]["n_variants"] == 1
+
+
+def test_span_dedup_c4_semantics(spark):
+    """C4's rule: EVERY occurrence of a span occurring more than once goes;
+    units not covered by any duplicated span survive in order, and the hash
+    and raw-span grouping modes agree."""
+    from knowledge_graph_studio_spark.operators.cleaning import span_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a\nb\nc\nd\ne"), (1, "x\nb\nc\nd"), (2, "p\nq\nr\ns"),
+         (3, "b\nc")],  # shorter than the span: no spans, untouched
+        "doc_id long, text string")
+    for hash_spans in (True, False):
+        got = {r["doc_id"]: r
+               for r in span_dedup(docs, hash_spans=hash_spans).collect()}
+        assert got[0]["clean_text"] == "a\ne"       # b,c,d removed
+        assert got[0]["n_kept"] == 2 and got[0]["n_dropped"] == 3
+        assert got[1]["clean_text"] == "x"          # both occurrences go
+        assert got[2]["clean_text"] == "p\nq\nr\ns"  # unique doc untouched
+        assert got[3]["clean_text"] == "b\nc"       # sub-span-length doc
+        assert got[3]["n_dropped"] == 0
