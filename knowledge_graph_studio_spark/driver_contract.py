@@ -378,6 +378,16 @@ def q_embedding_neardup(spark, sf):
     return cosine_allpairs(e, threshold=0.4, collapse_exact="auto")
 
 
+def q_gopher_rules(spark, sf):
+    """Gopher document-quality rules (textstats.gopher_filter): the
+    published public filter set with per-rule failure attribution; every
+    metric and the failed-rule string are value-checked against DuckDB's
+    independent list-function reimplementation."""
+    from .operators.textstats import gopher_filter
+
+    return gopher_filter(_read(spark, sf, "documents"))
+
+
 def q_boilerplate_strip(spark, sf):
     """CCNet/C4-style line-level boilerplate removal (operators/cleaning.
     strip_boilerplate): pages are built from `documents` with three planted
@@ -1091,6 +1101,7 @@ QUERIES: dict[str, _T] = {
     "kg_workspace_tags": q_kg_workspace_tags,
     "regex_search": q_regex_search,
     "match_improvement": q_match_improvement,
+    "gopher_rules": q_gopher_rules,
     "boilerplate_strip": q_boilerplate_strip,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
@@ -1661,6 +1672,44 @@ ORACLE_SQL["kg_pipeline_nodes"] = _PIPELINE_CTE + """
     )
     select n.name, n.type, n.chunks, m.mention_count, n.chunk_count
     from nagg n join ment m on m.name = n.name and m.type = n.type"""
+
+ORACLE_SQL["gopher_rules"] = """
+    with m as (
+      select doc_id,
+        len(string_split(text, ' ')) as n_words,
+        cast(floor(list_aggregate(list_transform(string_split(text, ' '),
+                                                 x -> length(x)), 'sum')
+                   * 100.0 / greatest(len(string_split(text, ' ')), 1))
+             as bigint) as mean_word_len_x100,
+        cast(floor((len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.'))) * 100.0
+                   / greatest(len(string_split(text, ' ')), 1))
+             as bigint) as symbol_ratio_x100,
+        cast(floor(len(list_filter(string_split(text, ' '),
+                                   x -> regexp_matches(x, '[A-Za-z]')))
+                   * 100.0 / greatest(len(string_split(text, ' ')), 1))
+             as bigint) as alpha_word_ratio_x100,
+        cast(len(list_intersect(list_distinct(string_split(text, ' ')),
+                 ['the','be','to','of','and','that','have','with']))
+             as bigint) as stop_hits
+      from documents
+    ), rules as (
+      select *, list_filter([
+          case when n_words < 50 or n_words > 100000
+               then 'word_count' end,
+          case when mean_word_len_x100 < 300 or mean_word_len_x100 > 1000
+               then 'mean_word_len' end,
+          case when symbol_ratio_x100 > 10 then 'symbol_ratio' end,
+          case when alpha_word_ratio_x100 < 80 then 'alpha_words' end,
+          case when stop_hits < 2 then 'stopwords' end
+        ], x -> x is not null) as fails
+      from m
+    )
+    select doc_id, n_words, mean_word_len_x100, symbol_ratio_x100,
+           alpha_word_ratio_x100, stop_hits,
+           case when len(fails) = 0 then 1 else 0 end as passes,
+           array_to_string(fails, ',') as failed
+    from rules"""
 
 ORACLE_SQL["boilerplate_strip"] = """
     with lines as (

@@ -57,6 +57,71 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+# the Gopher paper's published stop-word requirement list (Rae et al. 2021,
+# "Scaling Language Models": a document must contain at least 2 of these)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len_x100: int = 300, max_mean_word_len_x100: int = 1000,
+    max_symbol_ratio_x100: int = 10, min_alpha_word_ratio_x100: int = 80,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021, the
+    standard public pre-training filter set), integer-stable per the module
+    convention: word count in [50, 100k], mean word length in [3, 10]
+    chars, symbol-to-word ratio (# and ...) <= 0.1, >= 80% of words contain
+    an alphabetic character, and >= 2 distinct words from the paper's
+    8-stop-word list.
+
+    Output: per-doc metrics plus ``passes`` (0/1) and ``failed`` — the
+    comma-joined names of violated rules in fixed order (word_count,
+    mean_word_len, symbol_ratio, alpha_words, stopwords) so downstream
+    curation can report WHY documents fall out. Pure Column API, one
+    codegen'd projection — no shuffle, no Python."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    total_len = F.aggregate(F.transform(toks, F.length),
+                            F.lit(0), lambda acc, x: acc + x)
+    safe_n = F.greatest(n, F.lit(1))  # 0-token docs fail word_count anyway
+    mean_x100 = F.floor(total_len * 100 / safe_n).cast("bigint")
+    n_sym = (F.regexp_count(F.col(text_col), F.lit(r"#"))
+             + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
+    sym_x100 = F.floor(n_sym * 100 / safe_n).cast("bigint")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_x100 = F.floor(n_alpha * 100 / safe_n).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+
+    fails = F.filter(
+        F.array(
+            F.when((n < min_words) | (n > max_words), F.lit("word_count")),
+            F.when((mean_x100 < min_mean_word_len_x100)
+                   | (mean_x100 > max_mean_word_len_x100),
+                   F.lit("mean_word_len")),
+            F.when(sym_x100 > max_symbol_ratio_x100, F.lit("symbol_ratio")),
+            F.when(alpha_x100 < min_alpha_word_ratio_x100,
+                   F.lit("alpha_words")),
+            F.when(stop_hits < min_stop_hits, F.lit("stopwords")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        *id_cols,
+        n.alias("n_words"),
+        mean_x100.alias("mean_word_len_x100"),
+        sym_x100.alias("symbol_ratio_x100"),
+        alpha_x100.alias("alpha_word_ratio_x100"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        F.when(F.size(fails) == 0, F.lit(1)).otherwise(F.lit(0))
+        .alias("passes"),
+        F.concat_ws(",", fails).alias("failed"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex count ([A-Za-z]+ | digit | other

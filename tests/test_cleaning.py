@@ -90,3 +90,28 @@ def test_span_dedup_c4_semantics(spark):
         assert got[2]["clean_text"] == "p\nq\nr\ns"  # unique doc untouched
         assert got[3]["clean_text"] == "b\nc"       # sub-span-length doc
         assert got[3]["n_dropped"] == 0
+
+
+def test_gopher_filter_rules(spark):
+    """Gopher rules (Rae et al. 2021) with per-rule failure attribution:
+    each rule trips independently and the failed list keeps fixed order."""
+    from knowledge_graph_studio_spark.operators.textstats import gopher_filter
+
+    passing = ("the be to of and that have with " + "word " * 50).strip()
+    short = "the be only few words"                       # < 50 words
+    symbols = ("the be to of and that have with "
+               + "# " * 20 + "word " * 40).strip()        # symbol ratio > 0.1
+    nostop = ("lorem ipsum " * 30).strip()                # < 2 gopher stops
+    docs = spark.createDataFrame(
+        [(0, passing), (1, short), (2, symbols), (3, nostop), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert got[0]["passes"] == 1 and got[0]["failed"] == ""
+    assert got[1]["passes"] == 0 and "word_count" in got[1]["failed"]
+    # the '#' tokens trip BOTH the symbol ratio and the alpha-word floor,
+    # reported in fixed rule order
+    assert got[2]["passes"] == 0
+    assert got[2]["failed"] == "symbol_ratio,alpha_words"
+    assert got[3]["passes"] == 0 and got[3]["failed"] == "stopwords"
+    # empty text: fails word_count (and stopwords), never divides by zero
+    assert got[4]["passes"] == 0 and "word_count" in got[4]["failed"]
