@@ -1682,7 +1682,8 @@ ORACLE_SQL["gopher_rules"] = """
                    * 100.0 / greatest(len(string_split(text, ' ')), 1))
              as bigint) as mean_word_len_x100,
         cast(floor((len(regexp_extract_all(text, '#'))
-                    + len(regexp_extract_all(text, '\\.\\.\\.'))) * 100.0
+                    + len(regexp_extract_all(text, '\\.\\.\\.'))
+                    + len(regexp_extract_all(text, '…'))) * 100.0
                    / greatest(len(string_split(text, ' ')), 1))
              as bigint) as symbol_ratio_x100,
         cast(floor(len(list_filter(string_split(text, ' '),

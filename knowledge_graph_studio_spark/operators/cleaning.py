@@ -25,8 +25,17 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _sep_pattern(sep: str) -> str:
+    """F.split takes a REGEX while concat_ws reassembles with the literal
+    separator — escape it so metacharacter separators ('.', '|') split on
+    the same boundaries they are rejoined with (ADVICE r4)."""
+    return re.escape(sep)
 
 
 def strip_boilerplate(
@@ -52,7 +61,8 @@ def strip_boilerplate(
         n_docs = docs.count()
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _sep_pattern(sep)))
+        .alias("pos", "line"),
     )
     hot = (
         lines.groupBy("line")
@@ -113,7 +123,8 @@ def span_dedup(
     JOINED (shuffle on (id, pos)), never broadcast."""
     units = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "unit"),
+        F.posexplode(F.split(F.col(text_col), _sep_pattern(sep)))
+        .alias("pos", "unit"),
     )
     from pyspark.sql.window import Window
 
@@ -186,9 +197,11 @@ def canonical_url_col(url) -> F.Column:
     sh = F.lower(scheme_host)
     sh = F.regexp_replace(sh, r"^(http://[^:/]+):80$", "$1")
     sh = F.regexp_replace(sh, r"^(https://[^:/]+):443$", "$1")
-    # tracking params: (a) param followed by & keeps the leading delimiter,
-    # (b) trailing param goes together with its own delimiter
-    rest = F.regexp_replace(rest, _TRACKING + r"=[^&#]*&", "")
+    # tracking params: (a) param followed by & keeps the leading delimiter —
+    # the lookbehind anchors the name to a ?/& boundary so a NON-tracking
+    # param whose name merely ends with a tracking name (?xgclid=1) is left
+    # alone (ADVICE r4); (b) trailing param goes with its own delimiter
+    rest = F.regexp_replace(rest, r"(?<=[?&])" + _TRACKING + r"=[^&#]*&", "")
     rest = F.regexp_replace(rest, r"[?&]" + _TRACKING + r"=[^&#]*$", "")
     return F.concat(sh, rest)
 

@@ -73,7 +73,8 @@ def gopher_filter(
     """The published Gopher document-quality rules (Rae et al. 2021, the
     standard public pre-training filter set), integer-stable per the module
     convention: word count in [50, 100k], mean word length in [3, 10]
-    chars, symbol-to-word ratio (# and ...) <= 0.1, >= 80% of words contain
+    chars, symbol-to-word ratio (#, ASCII ... and unicode …) <= 0.1, >= 80%
+    of words contain
     an alphabetic character, and >= 2 distinct words from the paper's
     8-stop-word list.
 
@@ -88,8 +89,11 @@ def gopher_filter(
                             F.lit(0), lambda acc, x: acc + x)
     safe_n = F.greatest(n, F.lit(1))  # 0-token docs fail word_count anyway
     mean_x100 = F.floor(total_len * 100 / safe_n).cast("bigint")
+    # symbol set per the paper: '#', ASCII '...', and the unicode ellipsis
+    # '…' (ADVICE r4 — ellipsis-heavy docs must fail the same way)
     n_sym = (F.regexp_count(F.col(text_col), F.lit(r"#"))
-             + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
+             + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+             + F.regexp_count(F.col(text_col), F.lit("…")))
     sym_x100 = F.floor(n_sym * 100 / safe_n).cast("bigint")
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     alpha_x100 = F.floor(n_alpha * 100 / safe_n).cast("bigint")

@@ -198,11 +198,17 @@ def refresh_ann_index(
     property-mutating upserts should pass mode="rebuild" (full re-embed).
 
     The refreshed index is written next to the tables ({workdir}/ann_index)
-    via a write-new-then-swap (the union plan reads the old parquet, so an
-    in-place overwrite would read its own output; an Iceberg deployment
-    would make this a snapshot commit). NOTE: previously loaded EdgeAnnIndex
-    handles reference the swapped-out files and must be re-loaded after a
-    refresh. Returns the freshly loaded index."""
+    as a NEW versioned directory pair ({path}_v{k}, {path}_v{k}_meta) and
+    committed by atomically replacing the `{path}.ptr` pointer file
+    (os.replace — the filesystem's rename atomicity; the same pointer-commit
+    shape an Iceberg deployment gets from a snapshot). A crash at ANY point
+    leaves either the old pointer (old index fully intact) or the new
+    pointer (new data+meta fully written before the pointer moves) — never
+    a missing directory or a data/meta mismatch (ADVICE r4); concurrent
+    readers holding the old version keep their files because superseded
+    versions are only pruned AFTER the commit, best-effort. NOTE: previously
+    loaded EdgeAnnIndex handles reference the superseded version and must be
+    re-loaded to observe the refresh. Returns the freshly loaded index."""
     import os
     import shutil
 
@@ -210,7 +216,9 @@ def refresh_ann_index(
     from .plans.query import EdgeAnnIndex
 
     path = f"{workdir}/ann_index"
-    if mode == "extend" and os.path.exists(f"{path}_meta"):
+    ptr = f"{path}.ptr"
+    have_old = os.path.exists(ptr) or os.path.exists(f"{path}_meta")
+    if mode == "extend" and have_old:
         idx = EdgeAnnIndex.load(spark, path)
         new = edges.join(idx.index_df.select("edge_id").distinct(),
                          "edge_id", "left_anti")
@@ -218,11 +226,24 @@ def refresh_ann_index(
     else:
         idx = EdgeAnnIndex.build(embed_edges(edges), n_planes=n_planes,
                                  n_tables=n_tables, seed=seed)
-    tmp = f"{path}_next"
-    idx.save(tmp)
-    for suffix in ("", "_meta"):
+    vdir = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    versions = [
+        int(d[len(base) + 2:]) for d in os.listdir(vdir)
+        if d.startswith(f"{base}_v") and d[len(base) + 2:].isdigit()
+    ]
+    k = max(versions, default=0) + 1
+    vpath = f"{path}_v{k}"
+    idx.save(vpath)  # writes vpath AND vpath_meta before the pointer moves
+    tmp_ptr = f"{ptr}.tmp"
+    with open(tmp_ptr, "w") as fh:
+        fh.write(vpath)
+    os.replace(tmp_ptr, ptr)  # the commit point (atomic rename)
+    for v in versions:  # prune superseded versions, best-effort
+        for suffix in ("", "_meta"):
+            shutil.rmtree(f"{path}_v{v}{suffix}", ignore_errors=True)
+    for suffix in ("", "_meta"):  # legacy un-versioned layout, now shadowed
         shutil.rmtree(f"{path}{suffix}", ignore_errors=True)
-        os.rename(f"{tmp}{suffix}", f"{path}{suffix}")
     return EdgeAnnIndex.load(spark, path)
 
 

@@ -244,6 +244,15 @@ class EdgeAnnIndex:
 
     @classmethod
     def load(cls, spark, path: str) -> "EdgeAnnIndex":
+        """Follow the `{path}.ptr` indirection when present: refresh_ann_index
+        commits a new version by atomically replacing the pointer file, so a
+        loader never observes a half-swapped data/meta pair (ADVICE r4)."""
+        import os
+
+        ptr = f"{path}.ptr"
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                path = fh.read().strip()
         m = spark.read.parquet(f"{path}_meta").collect()[0]
         return cls(spark.read.parquet(path), m["n_rows"], m["n_planes"],
                    m["n_tables"], m["seed"])

@@ -115,3 +115,46 @@ def test_gopher_filter_rules(spark):
     assert got[3]["passes"] == 0 and got[3]["failed"] == "stopwords"
     # empty text: fails word_count (and stopwords), never divides by zero
     assert got[4]["passes"] == 0 and "word_count" in got[4]["failed"]
+
+
+def test_tracking_param_name_is_delimiter_anchored(spark):
+    # ADVICE r4: a non-tracking param whose name merely CONTAINS or ENDS
+    # WITH a tracking name must survive intact — the match is anchored to
+    # the preceding ?/& delimiter
+    cases = [
+        ("http://h.io/p?xgclid=1&b=2", "http://h.io/p?xgclid=1&b=2"),
+        ("http://h.io/p?autm_x=1&b=2", "http://h.io/p?autm_x=1&b=2"),
+        ("http://h.io/p?a=1&myfbclid=2", "http://h.io/p?a=1&myfbclid=2"),
+        # the real tracking params still go, in every position
+        ("http://h.io/p?gclid=1&b=2", "http://h.io/p?b=2"),
+        ("http://h.io/p?b=2&gclid=1", "http://h.io/p?b=2"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    got = {r["url"]: r["canonical_url"]
+           for r in canonicalize_urls(df).collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_strip_boilerplate_regex_metachar_sep(spark):
+    # ADVICE r4: a regex-metacharacter separator ('.') must split on the
+    # literal character and reassemble identically
+    docs = spark.createDataFrame(
+        [(0, "NAV.content zero.FOOT"), (1, "NAV.content one.FOOT"),
+         (2, "NAV.content two.FOOT")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           strip_boilerplate(docs, sep=".", max_df_frac=0.5).collect()}
+    assert got[0]["clean_text"] == "content zero"
+    assert got[0]["n_dropped"] == 2
+
+
+def test_span_dedup_regex_metachar_sep(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import span_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a0|S1|S2|S3|z0"), (1, "a1|S1|S2|S3|z1"), (2, "a2|b2|c2|d2|z2")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(docs, sep="|").collect()}
+    assert got[0]["clean_text"] == "a0|z0" and got[0]["n_dropped"] == 3
+    assert got[2]["clean_text"] == "a2|b2|c2|d2|z2"

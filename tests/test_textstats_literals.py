@@ -51,3 +51,17 @@ def test_literal_df_values_and_single_task(spark):
     # joins like any other DF
     big = spark.range(5).withColumn("k", F.lit("a"))
     assert big.join(F.broadcast(df), "k").count() == 5
+
+
+def test_gopher_symbol_ratio_counts_unicode_ellipsis(spark):
+    from knowledge_graph_studio_spark.operators.textstats import gopher_filter
+
+    base = "the words be to of and that have with " + " ".join(
+        f"w{i}x" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " " + "…" * 12)], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert got[0]["symbol_ratio_x100"] == 0
+    # 12 ellipses over ~60 words = 20% > the 10% Gopher cap (ADVICE r4)
+    assert got[1]["symbol_ratio_x100"] > 10
+    assert "symbol_ratio" in got[1]["failed"]
