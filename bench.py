@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash",
     "kg_cooccurrence",
     "quality_score",
+    "gopher_repetition",
     "fingerprint",
 ]
 

@@ -388,6 +388,36 @@ def q_gopher_rules(spark, sf):
     return gopher_filter(_read(spark, sf, "documents"))
 
 
+def q_gopher_repetition(spark, sf):
+    """Gopher repetition-removal rules (textstats.gopher_repetition): pages
+    constructed from `documents` plant each failure family — duplicated
+    lines (doc_id%4==0), duplicated paragraphs (==1), a 15x-repeated 2-gram
+    (==2, which also trips every dup-n-gram rule), and natural document
+    text (==3). The oracle rebuilds the SAME pages and re-derives all 13
+    metrics through an independent DuckDB list-function pipeline (generated
+    at import from the shared threshold/n-gram constants), so the whole
+    explode -> per-doc count -> pivot mechanism is value-checked, not
+    self-paired."""
+    from .operators.textstats import gopher_repetition
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    sev = (F.col("doc_id") % 7).cast("string")
+    m = F.col("doc_id") % 4
+    page = (
+        F.when(m == 0, F.concat(
+            F.lit("a"), i, F.lit(" b c\n"),
+            F.lit("dup line "), sev, F.lit("\n"),
+            F.lit("dup line "), sev, F.lit("\nz"), i))
+        .when(m == 1, F.concat(
+            F.lit("para one "), i, F.lit("\n\n"),
+            F.lit("para one "), i, F.lit("\n\n"), F.lit("tail "), i))
+        .when(m == 2, F.concat(F.lit("buy now " * 15), F.lit("end "), i))
+        .otherwise(F.substring("text", 1, 120))
+    )
+    return gopher_repetition(d.select("doc_id", page.alias("text")))
+
+
 def q_boilerplate_strip(spark, sf):
     """CCNet/C4-style line-level boilerplate removal (operators/cleaning.
     strip_boilerplate): pages are built from `documents` with three planted
@@ -1102,6 +1132,7 @@ QUERIES: dict[str, _T] = {
     "regex_search": q_regex_search,
     "match_improvement": q_match_improvement,
     "gopher_rules": q_gopher_rules,
+    "gopher_repetition": q_gopher_repetition,
     "boilerplate_strip": q_boilerplate_strip,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
@@ -1709,8 +1740,116 @@ ORACLE_SQL["gopher_rules"] = """
     select doc_id, n_words, mean_word_len_x100, symbol_ratio_x100,
            alpha_word_ratio_x100, stop_hits,
            case when len(fails) = 0 then 1 else 0 end as passes,
-           array_to_string(fails, ',') as failed
+           coalesce(array_to_string(fails, ','), '') as failed
     from rules"""
+
+def _gopher_repetition_oracle_sql() -> str:
+    """DuckDB reimplementation of q_gopher_repetition, GENERATED from the
+    same constants the Spark operator uses (GOPHER_REPETITION_THRESHOLDS,
+    _REP_NGRAM_NS) so the two sides can never drift: same constructed
+    pages, then an independent list-function metric pipeline."""
+    from .operators.textstats import (
+        GOPHER_REPETITION_THRESHOLDS as TH, _REP_NGRAM_NS as NS,
+    )
+
+    ngram_items = "\n".join(f"""
+      union all
+      select doc_id, 'g{n}' as kind,
+             unnest(case when len(toks) >= {n}
+                    then list_transform(generate_series(1, len(toks)-{n - 1}),
+                         i -> array_to_string(toks[i:i+{n - 1}], ' '))
+                    else [] end) as key
+      from src""" for n in NS)
+    kinds = ["L", "P"] + [f"g{n}" for n in NS]
+    wide_cols = ",\n".join(
+        f"        coalesce(max(case when kind='{k}' then {c} end),0)"
+        f" as {k}_{c}"
+        for k in kinds for c in ("total_cnt", "dup_cnt", "dup_chars",
+                                 "top_cov"))
+
+    def cnt_frac(kind: str) -> str:
+        return (f"cast(floor({kind}_dup_cnt * 1000.0"
+                f" / greatest({kind}_total_cnt, 1)) as bigint)")
+
+    def char_frac(expr: str) -> str:
+        return (f"least(cast(floor({expr} * 1000.0"
+                f" / greatest(n_chars, 1)) as bigint), 1000)")
+
+    metrics = {
+        "dup_line_frac": cnt_frac("L"),
+        "dup_line_char_frac": char_frac("L_dup_chars"),
+        "dup_para_frac": cnt_frac("P"),
+        "dup_para_char_frac": char_frac("P_dup_chars"),
+        **{f"top_{n}gram": char_frac(f"g{n}_top_cov") for n in (2, 3, 4)},
+        **{f"dup_{n}gram": char_frac(f"g{n}_dup_chars")
+           for n in NS if n >= 5},
+    }
+    metric_cols = ",\n".join(f"        {sql} as {name}_x1000"
+                             for name, sql in metrics.items())
+    fail_items = ",\n".join(
+        f"          case when {name}_x1000 > {TH[name]}"
+        f" then '{name}' end" for name in metrics)
+    out_cols = ", ".join(f"{name}_x1000" for name in metrics)
+    return f"""
+    with pages as (
+      select doc_id,
+        case cast(doc_id % 4 as integer)
+          when 0 then 'a' || cast(doc_id as varchar) || ' b c' || chr(10)
+                      || 'dup line ' || cast(doc_id % 7 as varchar) || chr(10)
+                      || 'dup line ' || cast(doc_id % 7 as varchar)
+                      || chr(10) || 'z' || cast(doc_id as varchar)
+          when 1 then 'para one ' || cast(doc_id as varchar)
+                      || chr(10) || chr(10)
+                      || 'para one ' || cast(doc_id as varchar)
+                      || chr(10) || chr(10) || 'tail ' || cast(doc_id as varchar)
+          when 2 then repeat('buy now ', 15) || 'end ' || cast(doc_id as varchar)
+          else substr(text, 1, 120)
+        end as text
+      from documents
+    ), src as (
+      select doc_id, text, length(text) as n_chars,
+             string_split(text, ' ') as toks
+      from pages
+    ), items as (
+      select doc_id, 'L' as kind,
+             unnest(string_split(text, chr(10))) as key from src
+      union all
+      select doc_id, 'P', unnest(string_split(text, chr(10)||chr(10)))
+      from src{ngram_items}
+    ), c1 as (
+      select doc_id, kind, key, count(*) as cnt
+      from items group by doc_id, kind, key
+    ), c2 as (
+      select doc_id, kind,
+        sum(cnt) as total_cnt,
+        coalesce(sum(case when cnt > 1 then cnt end), 0) as dup_cnt,
+        coalesce(sum(case when cnt > 1 then cnt*length(key) end), 0)
+          as dup_chars,
+        coalesce(max(case when cnt > 1 then cnt*length(key) end), 0)
+          as top_cov
+      from c1 group by doc_id, kind
+    ), wide as (
+      select doc_id,
+{wide_cols}
+      from c2 group by doc_id
+    ), metrics as (
+      select w.doc_id,
+{metric_cols}
+      from wide w join (select doc_id, n_chars from src) s
+        on s.doc_id = w.doc_id
+    ), rules as (
+      select *, list_filter([
+{fail_items}
+        ], x -> x is not null) as fails
+      from metrics
+    )
+    select doc_id, {out_cols},
+           case when len(fails) = 0 then 1 else 0 end as passes,
+           coalesce(array_to_string(fails, ','), '') as failed
+    from rules"""
+
+
+ORACLE_SQL["gopher_repetition"] = _gopher_repetition_oracle_sql()
 
 ORACLE_SQL["boilerplate_strip"] = """
     with lines as (

@@ -126,6 +126,178 @@ def gopher_filter(
     )
 
 
+# Gopher repetition-removal thresholds (Rae et al. 2021, Table A1), scaled
+# x1000 like every ratio in this module. A document FAILS a rule when its
+# metric exceeds the threshold (strictly greater).
+GOPHER_REPETITION_THRESHOLDS: dict[str, int] = {
+    "dup_line_frac": 300,
+    "dup_line_char_frac": 200,
+    "dup_para_frac": 300,
+    "dup_para_char_frac": 200,
+    "top_2gram": 200,
+    "top_3gram": 180,
+    "top_4gram": 160,
+    "dup_5gram": 150,
+    "dup_6gram": 140,
+    "dup_7gram": 130,
+    "dup_8gram": 120,
+    "dup_9gram": 110,
+    "dup_10gram": 100,
+}
+
+# item kinds flowing through the single explode: lines, paragraphs, and
+# word n-grams for n = 2..10 (top-fraction rules use 2-4, dup rules 5-10)
+_REP_NGRAM_NS = tuple(range(2, 11))
+
+
+def _word_ngrams(toks, n: int):
+    """n-token grams joined by ' ' over a MATERIALIZED token-array column
+    (same no-CSE + descending-sequence guards as `shingles`)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j)
+                                     for j in range(n)]),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame, text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    line_sep: str = "\n", para_sep: str = "\n\n",
+    thresholds: dict[str, int] | None = None,
+) -> DataFrame:
+    """The published Gopher repetition-removal rules (Rae et al. 2021,
+    Table A1) — the other half of the filter set beside `gopher_filter`'s
+    quality rules: duplicate line / paragraph fractions (count and
+    character), top-{2,3,4}-gram character fractions, and duplicate
+    {5..10}-gram character fractions, with per-rule failure attribution.
+
+    Integer-stable definitions (deviations from the paper's prose are
+    deliberate, deterministic, and mirrored exactly by the DuckDB oracle):
+
+      * dup_line_frac / dup_para_frac — occurrences of units (lines split on
+        ``line_sep``, paragraphs on ``para_sep``) whose within-doc count > 1,
+        over total unit occurrences.
+      * dup_line_char_frac / dup_para_char_frac — characters of those
+        duplicate occurrences over length(text), capped at 1.0.
+      * top_{n}gram (n=2..4) — max over n-grams occurring >= 2 times of
+        count * chars(gram), over length(text) (the paper takes the single
+        MOST FREQUENT n-gram; max coverage is tie-free and equals it in the
+        non-degenerate case), capped at 1.0.
+      * dup_{n}gram (n=5..10) — occurrence-weighted characters of n-grams
+        occurring > 1 time, over length(text), capped at 1.0 (the paper
+        de-overlaps covered characters; occurrence-weighting is the
+        shuffle-free upper bound, so this filter is slightly stricter).
+
+    All ratios x1000 (floor). ``passes`` = 1 iff no metric exceeds its
+    threshold (GOPHER_REPETITION_THRESHOLDS); ``failed`` lists violated
+    rules in fixed order.
+
+    Scale shape: one posexplode-free explode of a per-row item array
+    (~(2 + sum(n) ) * tokens items per doc), then two aggregations both
+    keyed by (doc, ...) — partial map-side combine applies and no key ever
+    spans documents, so there is no corpus-wide skew by construction; the
+    final pivot is a conditional aggregation on the doc key. Everything is
+    Column API — zero Python in the hot path."""
+    import re as _re
+
+    th = dict(GOPHER_REPETITION_THRESHOLDS)
+    if thresholds:
+        th.update(thresholds)
+    kinds = ["L", "P"] + [f"g{n}" for n in _REP_NGRAM_NS]
+
+    src = df.select(
+        *id_cols,
+        F.length(text_col).alias("_n_chars"),
+        _tokens(text_col).alias("_toks"),
+        F.split(F.col(text_col), _re.escape(line_sep)).alias("_lines"),
+        F.split(F.col(text_col), _re.escape(para_sep)).alias("_paras"),
+    )
+    toks = F.col("_toks")
+
+    def _tag(arr, kind: str):
+        # NB: close over `kind` — a two-parameter lambda would make
+        # F.transform pass the ELEMENT INDEX as the second argument
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(kind).alias("kind"),
+                                    x.alias("key")))
+
+    items = F.concat(
+        _tag(F.col("_lines"), "L"),
+        _tag(F.col("_paras"), "P"),
+        *[_tag(_word_ngrams(toks, n), f"g{n}") for n in _REP_NGRAM_NS],
+    )
+    ex = src.select(*id_cols, "_n_chars", F.explode(items).alias("it")).select(
+        *id_cols, "_n_chars",
+        F.col("it.kind").alias("_kind"), F.col("it.key").alias("_key"),
+    )
+    c1 = ex.groupBy(*id_cols, "_kind", "_key").agg(
+        F.count("*").alias("_cnt"), F.min("_n_chars").alias("_n_chars"))
+    cov = F.col("_cnt") * F.length("_key")
+    dup = F.col("_cnt") > 1
+    c2 = c1.groupBy(*id_cols, "_kind").agg(
+        F.min("_n_chars").alias("_n_chars"),
+        F.sum("_cnt").alias("_total_cnt"),
+        F.coalesce(F.sum(F.when(dup, F.col("_cnt"))), F.lit(0))
+        .alias("_dup_cnt"),
+        F.coalesce(F.sum(F.when(dup, cov)), F.lit(0)).alias("_dup_chars"),
+        F.coalesce(F.max(F.when(dup, cov)), F.lit(0)).alias("_top_cov"),
+    )
+
+    def _of(kind: str, col: str):
+        return F.max(F.when(F.col("_kind") == kind, F.col(col)))
+
+    wide = c2.groupBy(*id_cols).agg(
+        F.min("_n_chars").alias("_n_chars"),
+        *[F.coalesce(_of(k, c), F.lit(0)).alias(f"_{k}_{c[1:]}")
+          for k in kinds for c in ("_total_cnt", "_dup_cnt", "_dup_chars",
+                                   "_top_cov")],
+    )
+    safe_chars = F.greatest(F.col("_n_chars"), F.lit(1))
+
+    def _cnt_frac(kind: str):
+        return F.floor(
+            F.col(f"_{kind}_dup_cnt") * 1000
+            / F.greatest(F.col(f"_{kind}_total_cnt"), F.lit(1))
+        ).cast("bigint")
+
+    def _char_frac(col) -> F.Column:
+        return F.least(
+            F.floor(col * 1000 / safe_chars).cast("bigint"), F.lit(1000))
+
+    metrics = {
+        "dup_line_frac": _cnt_frac("L"),
+        "dup_line_char_frac": _char_frac(F.col("_L_dup_chars")),
+        "dup_para_frac": _cnt_frac("P"),
+        "dup_para_char_frac": _char_frac(F.col("_P_dup_chars")),
+        **{f"top_{n}gram": _char_frac(F.col(f"_g{n}_top_cov"))
+           for n in (2, 3, 4)},
+        **{f"dup_{n}gram": _char_frac(F.col(f"_g{n}_dup_chars"))
+           for n in range(5, 11)},
+    }
+    m = wide.select(
+        *id_cols,
+        *[v.alias(f"{k}_x1000") for k, v in metrics.items()],
+    )
+    fails = F.filter(
+        F.array(*[
+            F.when(F.col(f"{k}_x1000") > th[k], F.lit(k))
+            for k in metrics
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return m.select(
+        *id_cols,
+        *[f"{k}_x1000" for k in metrics],
+        F.when(F.size(fails) == 0, F.lit(1)).otherwise(F.lit(0))
+        .alias("passes"),
+        F.concat_ws(",", fails).alias("failed"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text",
                  id_cols: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex count ([A-Za-z]+ | digit | other

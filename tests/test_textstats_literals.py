@@ -65,3 +65,47 @@ def test_gopher_symbol_ratio_counts_unicode_ellipsis(spark):
     # 12 ellipses over ~60 words = 20% > the 10% Gopher cap (ADVICE r4)
     assert got[1]["symbol_ratio_x100"] > 10
     assert "symbol_ratio" in got[1]["failed"]
+
+
+def test_gopher_repetition_rule_families(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame([
+        (0, "dup line\ndup line\nuniq a b c d e f g h"),
+        (1, "para one x\n\npara one x\n\ntail y"),
+        (2, "buy now " * 15 + "end z"),
+        (3, "a b c d e f g h i j k l m n o p q r s t"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    # doc 0: 2 of 3 lines are duplicates -> 666 > 300 threshold
+    assert got[0]["dup_line_frac_x1000"] == 666
+    assert "dup_line_frac" in got[0]["failed"] and got[0]["passes"] == 0
+    # doc 1: duplicated paragraph trips BOTH para rules (and, via the empty
+    # lines the \n\n split leaves, the line rules)
+    assert got[1]["dup_para_frac_x1000"] > 300
+    assert "dup_para_frac" in got[1]["failed"]
+    assert "dup_para_char_frac" in got[1]["failed"]
+    # doc 2: 15x-repeated 2-gram trips top-{2,3,4} and every dup-n rule
+    assert got[2]["top_2gram_x1000"] > 200
+    assert got[2]["dup_5gram_x1000"] == 1000  # capped occurrence-weighted
+    for n in range(5, 11):
+        assert f"dup_{n}gram" in got[2]["failed"]
+    # doc 3: all-unique tokens pass everything
+    assert got[3]["passes"] == 1 and got[3]["failed"] == ""
+
+
+def test_gopher_repetition_short_and_empty_docs(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    # sub-n-gram docs produce zero metrics (no crash on the descending-
+    # sequence guard) and pass
+    for i in range(3):
+        assert got[i]["passes"] == 1, got[i]
+        assert got[i]["dup_10gram_x1000"] == 0
