@@ -38,6 +38,9 @@ HEADLINE = [
     "kg_cooccurrence",
     "quality_score",
     "gopher_repetition",
+    "decontaminate",
+    "sample_mix",
+    "redact_pii",
     "fingerprint",
 ]
 

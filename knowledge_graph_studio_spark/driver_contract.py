@@ -475,6 +475,23 @@ def q_span_dedup(spark, sf):
         "doc_id", "clean_text", "n_kept", "n_dropped")
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (cleaning.decontaminate): the heldout eval
+    set is a 10-token slice (tokens 3..12) of every 10th document, so those
+    source documents are contaminated BY CONSTRUCTION (plus any doc that
+    coincidentally shares a 5-gram with a slice — the small synthetic vocab
+    makes collisions real, and the oracle counts the same ones). Broadcast
+    semi-join of the bounded eval shingle set; raw-text shingle keys here so
+    DuckDB pairs the join exactly (xxhash64-key mode law-tested equal)."""
+    from .operators.cleaning import decontaminate
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 10 == 3).select(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 3, 10))
+        .alias("text"))
+    return decontaminate(d, ev, n=5, hash_shingles=False)
+
+
 def q_url_canonicalize(spark, sf):
     """URL canonicalization + URL-level dedup grouping (operators/cleaning.
     canonical_url_col / url_dedup_groups): four crawl variants of each
@@ -496,6 +513,49 @@ def q_url_canonicalize(spark, sf):
                             F.lit("?utm_campaign=x&ref=1#frag")))
     )
     return url_dedup_groups(d.select(url.alias("url")))
+
+
+def q_redact_pii(spark, sf):
+    """PII redaction (cleaning.redact_pii): pages plant one family each —
+    an email (doc_id%4==0), a NANP phone (==1), an IPv4 literal beside a
+    'v1.2.3' version-string decoy (==2), and clean text (==3). The oracle
+    computes the GROUND-TRUTH redacted text arithmetically (no regex on the
+    DuckDB side at all), so the whole Java-regex chain — including the
+    decoy NOT being over-redacted — is checked against an independent
+    expectation."""
+    from .operators.cleaning import redact_pii
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    d4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    page = (
+        F.when(m == 0, F.concat(F.lit("contact user"), i,
+                                F.lit("@example.com see "),
+                                F.substring("text", 1, 40)))
+        .when(m == 1, F.concat(F.lit("call (555) 123-"), d4, F.lit(" soon")))
+        .when(m == 2, F.concat(F.lit("server 10.0."),
+                               (F.col("doc_id") % 256).cast("string"),
+                               F.lit("."),
+                               (F.col("doc_id") % 100).cast("string"),
+                               F.lit(" build v1.2.3 ok")))
+        .otherwise(F.substring("text", 1, 80))
+    )
+    return redact_pii(d.select("doc_id", page.alias("text")))
+
+
+def q_sample_mix(spark, sf):
+    """Deterministic corpus mixing (sampling.sample_mix): languages get
+    {en: 1.5x up-sampled, de: 0.5, fr: 0.25, es: keep, zh: drop}. md5_60
+    gate here so DuckDB reproduces the hash arithmetic bit-for-bit
+    (production default is xxhash64; determinism + proportion convergence
+    law-tested in tests/test_sampling.py)."""
+    from .operators.sampling import sample_mix
+
+    d = _read(spark, sf, "documents").select("doc_id", "lang")
+    return sample_mix(
+        d, {"en": 1.5, "de": 0.5, "fr": 0.25, "es": 1.0, "zh": 0.0},
+        stratum_col="lang", hash_fn="md5_60")
 
 
 def q_lang_id(spark, sf):
@@ -1136,6 +1196,9 @@ QUERIES: dict[str, _T] = {
     "boilerplate_strip": q_boilerplate_strip,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
+    "decontaminate": q_decontaminate,
+    "sample_mix": q_sample_mix,
+    "redact_pii": q_redact_pii,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -1899,6 +1962,70 @@ ORACLE_SQL["span_dedup"] = """
       cast(case when doc_id % 4 = 1 then 2 else 5 end as bigint) as n_kept,
       cast(case when doc_id % 4 = 1 then 3 else 0 end as bigint) as n_dropped
     from documents"""
+
+# same 5-gram shingle pipeline over the same eval slices, re-derived with
+# DuckDB list functions (shingle separator '_' matches textstats.shingles)
+ORACLE_SQL["decontaminate"] = """
+    with toks as (
+      select doc_id, string_split(text, ' ') as t from documents
+    ), ev_sh as (
+      select distinct shingle from (
+        select unnest(case when len(et) >= 5
+               then list_transform(generate_series(1, len(et)-4),
+                    i -> array_to_string(et[i:i+4], '_'))
+               else [] end) as shingle
+        from (select t[3:12] as et from toks where doc_id % 10 = 3))
+    ), doc_sh as (
+      select distinct doc_id, shingle from (
+        select doc_id,
+               unnest(case when len(t) >= 5
+               then list_transform(generate_series(1, len(t)-4),
+                    i -> array_to_string(t[i:i+4], '_'))
+               else [] end) as shingle
+        from toks)
+    ), hits as (
+      select doc_id, count(*) as n_hits
+      from doc_sh join ev_sh using (shingle) group by doc_id
+    )
+    select d.doc_id, coalesce(h.n_hits, 0) as n_hits,
+           case when coalesce(h.n_hits, 0) > 0 then 1 else 0 end
+             as contaminated
+    from documents d left join hits h on h.doc_id = d.doc_id"""
+
+# ground-truth redaction computed straight from doc_id arithmetic — the
+# Spark regex chain must land on it (and must NOT touch the v1.2.3 decoy)
+ORACLE_SQL["redact_pii"] = """
+    select doc_id,
+      case cast(doc_id % 4 as integer)
+        when 0 then 'contact <EMAIL> see ' || substr(text, 1, 40)
+        when 1 then 'call <PHONE> soon'
+        when 2 then 'server <IP> build v1.2.3 ok'
+        else substr(text, 1, 80)
+      end as redacted,
+      cast(case when doc_id % 4 = 0 then 1 else 0 end as int) as n_emails,
+      cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
+      cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
+    from documents"""
+
+# the md5_60 gate re-derived in SQL: same hash, same ppm thresholds, same
+# floor + fractional-Bernoulli copy count, same 0..k-1 copy explosion
+ORACLE_SQL["sample_mix"] = """
+    with g as (
+      select doc_id, lang,
+        cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))
+             as bigint) % 1000000 as h,
+        case lang when 'en' then 1500000 when 'de' then 500000
+                  when 'fr' then 250000 when 'es' then 1000000
+                  when 'zh' then 0 else 0 end as ppm
+      from documents
+    ), c as (
+      select doc_id, lang,
+             ppm // 1000000
+             + case when h < ppm % 1000000 then 1 else 0 end as copies
+      from g
+    )
+    select doc_id, lang, unnest(generate_series(0, copies - 1)) as copy
+    from c where copies > 0"""
 
 # ground-truth canonical computed straight from doc_id arithmetic — the
 # Spark side must land on it through the regex normalization chain

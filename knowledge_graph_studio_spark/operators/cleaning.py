@@ -172,6 +172,119 @@ def span_dedup(
     )
 
 
+# PII regex families (public-pattern shapes, Java regex — the Spark-side
+# dialect; the contract oracle checks against GROUND-TRUTH redacted text,
+# so no cross-engine regex compatibility is required):
+#   email — local@domain.tld
+#   phone — NANP-ish 3-3-4 with optional +cc/parens; the (?<!\d)/(?!\d)
+#           guards stop partial matches inside longer digit runs
+#   ip    — four dot-separated octet-shaped runs; the (?<![\d.])/(?![\d.])
+#           guards keep it out of longer dotted runs (a 3-part version
+#           string like "v1.2.3" NEVER matches — boundary-tested)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"(?<![\d.])\d{1,3}(\.\d{1,3}){3}(?![\d.])",
+    "phone": r"(?<!\d)(\+\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}(?!\d)",
+}
+PII_TOKENS: dict[str, str] = {
+    "email": "<EMAIL>", "ip": "<IP>", "phone": "<PHONE>",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Redact contact-info PII (emails, phone numbers, IPv4 literals) with
+    typed placeholder tokens, plus per-document hit counts per family —
+    the standard crawl-cleaning pass before publishing a corpus.
+
+    Output: (id_cols..., redacted, n_emails, n_phones, n_ips). Counts are
+    taken on the ORIGINAL text per family independently; replacement runs
+    email -> ip -> phone so a family never matches inside another's
+    placeholder. Pure codegen'd regexp projection — zero shuffle, zero
+    Python; the plan is a scan at any scale."""
+    redacted = F.col(text_col)
+    for fam in ("email", "ip", "phone"):
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[fam],
+                                    PII_TOKENS[fam])
+    return df.select(
+        *id_cols,
+        redacted.alias("redacted"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["email"]))
+        .alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["phone"]))
+        .alias("n_phones"),
+        F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["ip"]))
+        .alias("n_ips"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    mode: str = "tag",
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: tag (or drop) training documents sharing
+    any n-token shingle with a heldout evaluation set — the public 13-gram
+    train/test-overlap standard (GPT-3 appendix C; Gopher/Llama use the
+    same shape with n in 8..13).
+
+    mode="tag" returns one row per doc: (id_col, n_hits = number of
+    DISTINCT overlapping shingles, contaminated 0/1). mode="drop" returns
+    the clean subset of ``docs`` with its original columns.
+
+    Plan: both sides shingle via textstats.shingles (distinct per doc); the
+    eval side is small by definition (benchmarks are thousands of rows, not
+    corpus-sized), so its distinct shingle set BROADCASTS and the overlap
+    is one broadcast join against the training shingles followed by a
+    per-doc count — no corpus-sized shuffle anywhere, trivially 100 TB-safe.
+    ``hash_shingles`` joins on xxhash64(shingle) (8-byte keys, the
+    production default); False joins on the raw shingle text, which is how
+    the DuckDB contract oracle pairs this operator (equivalence of the two
+    modes is law-tested)."""
+    from .textstats import shingles
+
+    doc_sh = shingles(docs, k=n, text_col=text_col, id_col=id_col)
+    ev = (
+        shingles(
+            eval_df.select(F.col(eval_text_col).alias("text"),
+                           F.lit(0).alias("_eid")),
+            k=n, text_col="text", id_col="_eid",
+        )
+        .select("shingle").distinct()
+    )
+    if hash_shingles:
+        doc_sh = doc_sh.select(id_col, F.xxhash64("shingle").alias("_k"))
+        ev = ev.select(F.xxhash64("shingle").alias("_k")).distinct()
+        on = "_k"
+    else:
+        on = "shingle"
+    hits = (
+        doc_sh.join(F.broadcast(ev), on)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))  # shingles are distinct per doc
+    )
+    if mode == "drop":
+        return docs.join(hits.select(id_col), id_col, "left_anti")
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.when(F.coalesce("n_hits", F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0)).alias("contaminated"),
+        )
+    )
+
+
 # tracking parameters stripped by canonicalize_urls (the public utm_* family
 # plus the common click identifiers)
 _TRACKING = r"(utm_[^=&#]*|gclid|fbclid|msclkid)"

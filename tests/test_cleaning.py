@@ -158,3 +158,77 @@ def test_span_dedup_regex_metachar_sep(spark):
     got = {r["doc_id"]: r for r in span_dedup(docs, sep="|").collect()}
     assert got[0]["clean_text"] == "a0|z0" and got[0]["n_dropped"] == 3
     assert got[2]["clean_text"] == "a2|b2|c2|d2|z2"
+
+
+def _decontam_fixture(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import decontaminate
+
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "completely unrelated words about spark shuffles and joins"),
+        (2, "prefix filler quick brown fox jumps over suffix filler"),
+    ], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [("quick brown fox jumps over",)], "text string")
+    return decontaminate, docs, ev
+
+
+def test_decontaminate_planted_overlap(spark):
+    decontaminate, docs, ev = _decontam_fixture(spark)
+    got = {r["doc_id"]: r for r in
+           decontaminate(docs, ev, n=5).collect()}
+    # docs 0 and 2 contain the planted eval 5-gram; doc 1 is clean
+    assert got[0]["contaminated"] == 1 and got[0]["n_hits"] == 1
+    assert got[2]["contaminated"] == 1
+    assert got[1]["contaminated"] == 0 and got[1]["n_hits"] == 0
+
+
+def test_decontaminate_hash_and_raw_keys_agree(spark):
+    decontaminate, docs, ev = _decontam_fixture(spark)
+    a = sorted(map(tuple, decontaminate(docs, ev, n=5,
+                                        hash_shingles=True).collect()))
+    b = sorted(map(tuple, decontaminate(docs, ev, n=5,
+                                        hash_shingles=False).collect()))
+    assert a == b
+
+
+def test_decontaminate_drop_mode_keeps_original_columns(spark):
+    decontaminate, docs, ev = _decontam_fixture(spark)
+    out = decontaminate(docs, ev, n=5, mode="drop")
+    assert out.columns == ["doc_id", "text"]
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    decontaminate, docs, ev = _decontam_fixture(spark)
+    plan = decontaminate(docs, ev, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_families_and_boundaries(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import redact_pii
+
+    docs = spark.createDataFrame([
+        (0, "mail a.b+c@sub.example.org and x@y.io now"),
+        (1, "call +1 (555) 123-4567 or 555.987.6543"),
+        (2, "hosts 10.0.3.44 and 192.168.1.1 up"),
+        # boundary decoys: versions, long digit runs, dotted runs
+        (3, "v1.2.3 release 1.2.3 and 1.2.3.4.5 chain 12345678901234"),
+        (4, "ratio 3.14 date 2026.08.17 order #123-456-7890x"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[0]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[0]["n_emails"] == 2
+    assert got[1]["redacted"] == "call <PHONE> or <PHONE>"
+    assert got[1]["n_phones"] == 2
+    assert got[2]["redacted"] == "hosts <IP> and <IP> up"
+    assert got[2]["n_ips"] == 2
+    # 3-part versions and 5-part dotted chains are NOT IPs; no phone inside
+    # an unbroken 14-digit run
+    assert got[3]["redacted"] == docs.collect()[3]["text"]
+    assert got[3]["n_ips"] == 0 and got[3]["n_phones"] == 0
+    # trailing x blocks nothing (match ends at digit boundary) but the
+    # (?!\d) guard stops partial matches inside longer runs; 2026.08.17 is
+    # not 3-3-4 shaped
+    assert "2026.08.17" in got[4]["redacted"]
+    assert got[4]["n_emails"] == 0 and got[4]["n_ips"] == 0
