@@ -1086,6 +1086,45 @@ def q_ann_ivf_topk(spark, sf):  # rows-only
                         n_cells=16, n_probe=12).select("qid", "vec_id")
 
 
+def q_ann_lsh_candidates_hashed(spark, sf):
+    """ANN LSH CANDIDATE stage, oracle-paired (VERDICT r4 #4): the
+    integer-hyperplane twin bucketer (similarity.lsh_bucket_keys_int —
+    md5-derived int planes over quantized vectors, bit-for-bit SQL-
+    reproducible) feeds the same candidate mechanism EdgeAnnIndex uses:
+    bucket-membership join against the query's keys, candidates RANKED BY
+    COLLISION COUNT with an id tie-break, capped at 64. The float
+    re-scoring stays rows-only in ann_lsh_topk; this entry value-checks
+    membership + ranking + cap."""
+    from .operators.similarity import lsh_bucket_keys_int
+
+    e = _read(spark, sf, "embeddings")
+    # bucket once over the whole table (the 2048-literal fold plan is
+    # planning-heavy — build it a single time), split below the checkpoint
+    allb = lsh_bucket_keys_int(e).localCheckpoint(eager=False)
+    vb = allb.filter("vec_id <> 0")
+    qb = allb.filter("vec_id = 0").select("table_id", "bucket")
+    cand = (vb.join(F.broadcast(qb), ["table_id", "bucket"])
+            .groupBy("vec_id").agg(F.count("*").alias("n_collisions")))
+    return (cand.orderBy(F.desc("n_collisions"), F.asc("vec_id"))
+            .limit(64))
+
+
+def q_ann_ivf_candidates_hashed(spark, sf):
+    """ANN IVF CANDIDATE stage, oracle-paired: integer-centroid twin
+    assignment (similarity.ivf_assign_int — exact int dot / sqrt(int
+    norms), one IEEE-identical double divide, cell-id tie-break). Vectors
+    hard-assign to their best cell; the query probes its 4 best; the
+    candidate set is the cell-membership join — exactly ann_ivf_topk's
+    coarse quantization shape with the float centroids swapped for
+    SQL-reproducible ones."""
+    from .operators.similarity import ivf_assign_int
+
+    e = _read(spark, sf, "embeddings")
+    v = ivf_assign_int(e.filter("vec_id <> 0"), n_probe=1)
+    q = ivf_assign_int(e.filter("vec_id = 0"), n_probe=4).select("cell")
+    return v.join(F.broadcast(q), "cell").select("vec_id", "cell")
+
+
 def q_embedding_neardup_lsh(spark, sf):
     """The sub-quadratic scale path for embedding near-dup: LSH buckets +
     per-bucket GEMM, exact in-bucket verification (similarity.
@@ -1222,6 +1261,8 @@ QUERIES: dict[str, _T] = {
     "simhash_neardup": q_simhash_neardup,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_candidates_hashed": q_ann_lsh_candidates_hashed,
+    "ann_ivf_candidates_hashed": q_ann_ivf_candidates_hashed,
 }
 
 _GAZ_SQL = ",".join(f"'{t}'" for t in GAZ_TERMS)
@@ -1591,6 +1632,102 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
         join banded b on a.band_id = b.band_id and a.band_hash = b.band_hash
                      and a.doc_id < b.doc_id"""
 
+
+# embeddings table dimensionality (driver-generated parquet; the Spark-side
+# twins discover it from the data — a driver change would surface as a
+# hash mismatch here, not silently)
+_ANN_INT_DIM = 64
+_MD5_60 = ("(cast(('0x' || substr(md5({key}), 1, 15)) as bigint) % 15) - 7")
+
+
+def _ann_lsh_candidates_oracle_sql(n_planes: int = 4, n_tables: int = 8,
+                                   dim: int = _ANN_INT_DIM,
+                                   scale: int = 1000, cap: int = 64) -> str:
+    """DuckDB re-derivation of q_ann_lsh_candidates_hashed, generated from
+    the same family constants as similarity.lsh_bucket_keys_int /
+    _int_plane_val (md5('t_j_i') top-60-bits % 15 - 7)."""
+    plane = _MD5_60.format(
+        key="cast(t as varchar) || '_' || cast(j as varchar)"
+            " || '_' || cast(i as varchar)")
+    return f"""
+    with comp as (
+      select vec_id, i,
+             cast(round(cast(embedding[i] as double) * {scale}) as bigint)
+               as r
+      from embeddings, generate_series(1, {dim}) g(i)
+    ), grid as (
+      select t, j, i, {plane} as p
+      from generate_series(0, {n_tables - 1}) g1(t),
+           generate_series(0, {n_planes - 1}) g2(j),
+           generate_series(1, {dim}) g3(i)
+    ), dots as (
+      select c.vec_id, g.t, g.j, sum(c.r * g.p) as s
+      from comp c join grid g on g.i = c.i
+      group by c.vec_id, g.t, g.j
+    ), buckets as (
+      select vec_id, t,
+             sum(case when s > 0 then cast(1 as bigint) << j else 0 end)
+               as bucket
+      from dots group by vec_id, t
+    ), cand as (
+      select v.vec_id, count(*) as n_collisions
+      from buckets v
+      join buckets q on q.vec_id = 0 and v.t = q.t and v.bucket = q.bucket
+      where v.vec_id <> 0
+      group by v.vec_id
+    )
+    select vec_id, n_collisions from cand
+    order by n_collisions desc, vec_id asc limit {cap}"""
+
+
+def _ann_ivf_candidates_oracle_sql(n_cells: int = 16, n_probe: int = 4,
+                                   dim: int = _ANN_INT_DIM,
+                                   scale: int = 1000) -> str:
+    """DuckDB re-derivation of q_ann_ivf_candidates_hashed (integer
+    centroids keyed 'c_<cell>_<i>', int dot / sqrt(int norms) score — one
+    IEEE-identical double divide, cell-id tie-break)."""
+    cent = _MD5_60.format(
+        key="'c_' || cast(c as varchar) || '_' || cast(i as varchar)")
+    return f"""
+    with comp as (
+      select vec_id, i,
+             cast(round(cast(embedding[i] as double) * {scale}) as bigint)
+               as r
+      from embeddings, generate_series(1, {dim}) g(i)
+    ), cent as (
+      select c, i, {cent} as p
+      from generate_series(0, {n_cells - 1}) gc(c),
+           generate_series(1, {dim}) gi(i)
+    ), cnorm as (
+      select c, sum(p * p) as nc from cent group by c
+    ), vnorm as (
+      select vec_id, sum(r * r) as nr from comp group by vec_id
+    ), dots as (
+      select comp.vec_id, cent.c, sum(comp.r * cent.p) as dot
+      from comp join cent on cent.i = comp.i
+      group by comp.vec_id, cent.c
+    ), scored as (
+      select d.vec_id, d.c,
+             cast(d.dot as double)
+             / sqrt(cast(cn.nc * greatest(vn.nr, 1) as double)) as score
+      from dots d
+      join cnorm cn on cn.c = d.c
+      join vnorm vn on vn.vec_id = d.vec_id
+    ), ranked as (
+      select vec_id, c,
+             row_number() over (partition by vec_id
+                                order by score desc, c asc) as rk
+      from scored
+    ), vcell as (
+      select vec_id, c as cell from ranked where rk <= 1 and vec_id <> 0
+    ), qcell as (
+      select c as cell from ranked where rk <= {n_probe} and vec_id = 0
+    )
+    select v.vec_id, v.cell from vcell v join qcell q on q.cell = v.cell"""
+
+
+ORACLE_SQL["ann_lsh_candidates_hashed"] = _ann_lsh_candidates_oracle_sql()
+ORACLE_SQL["ann_ivf_candidates_hashed"] = _ann_ivf_candidates_oracle_sql()
 
 ORACLE_SQL["simhash"] = _simhash_oracle_sql()
 ORACLE_SQL["minhash_lsh"] = _minhash_oracle_sql()

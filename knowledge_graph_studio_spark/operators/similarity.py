@@ -470,6 +470,129 @@ def _lloyd_step(df: DataFrame, centroids: "np.ndarray", vec_col: str,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Integer-exact ANN candidate twins (cross-engine verifiable)
+# ---------------------------------------------------------------------------
+# The production bucketers above are float geometry evaluated in numpy
+# (random normal hyperplanes / sampled+Lloyd centroids) — correct, but not
+# reproducible bit-for-bit in SQL: a float dot product's value depends on
+# summation order. These *_int twins quantize vectors to integers
+# (round(x * scale)) and derive plane/centroid components as small integers
+# from md5 (md5_60 % 15 - 7 — the same md5_60 trick the MinHash/SimHash
+# oracles use), so every signature bit and cell assignment is an INTEGER
+# comparison that DuckDB reproduces exactly. They exist to oracle-pair the
+# ANN *candidate mechanism* (bucket membership, collision ranking, coarse
+# cell probing) in the driver contract; the float paths stay covered by the
+# recall harness (tools/ann_recall.py, ANN_RECALL.json).
+
+ANN_INT_SCALE = 1000  # quantization: r_i = round(x_i * scale) as int64
+
+
+def _int_plane_val(*key: int) -> int:
+    """Deterministic integer component in [-7, 7] from md5 over the joined
+    key — regenerated identically in SQL as
+    (cast('0x'||substr(md5(k),1,15) as bigint) % 15) - 7."""
+    import hashlib
+
+    s = "_".join(str(k) for k in key)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 15 - 7
+
+
+def _quantize_arr(vec_col: str) -> F.Column:
+    """round(double(x) * scale) per component — float32 -> double is exact
+    and a single double multiply+round is IEEE-identical across engines, so
+    the int64 array matches DuckDB's arithmetic bit-for-bit."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * ANN_INT_SCALE).cast("long"))
+
+
+def _int_dot(r_col, plane: list[int]) -> F.Column:
+    """sum_i r_i * p_i with the plane embedded as an int array literal —
+    exact int64 arithmetic, order-independent, one per-row fold (no join,
+    no shuffle, no Python)."""
+    p = F.array(*[F.lit(v).cast("long") for v in plane])
+    return F.aggregate(F.zip_with(r_col, p, lambda a, b: a * b),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def lsh_bucket_keys_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """(id, table_id, bucket) under the integer-hyperplane family:
+    bit(t,j) = (sum_i r_i * p[t,j,i] > 0), bucket(t) = sum_j bit * 2^j,
+    with p from _int_plane_val — the verifiable twin of lsh_bucket_keys.
+
+    Plan: ONE projection per row — quantize once, n_tables*n_planes
+    integer-array folds, then the same stacked (table_id, bucket) explode
+    as the production bucketer. Zero shuffle, zero Python, nothing but the
+    scan at any scale (the folds are higher-order functions, so this twin
+    trades codegen for cross-engine exactness; the Arrow/numpy
+    lsh_bucket_keys stays the production default and this twin gates its
+    mechanism in the contract)."""
+    dim = len(df.select(vec_col).first()[0])
+    src = df.select(F.col(id_col).cast("long").alias(id_col),
+                    _quantize_arr(vec_col).alias("_r"))
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("long")
+        for j in range(n_planes):
+            plane = [_int_plane_val(t, j, i) for i in range(1, dim + 1)]
+            b = b + F.when(_int_dot(F.col("_r"), plane) > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        buckets.append(F.struct(F.lit(t).alias("table_id"),
+                                b.alias("bucket")))
+    return (
+        src.select(id_col, F.explode(F.array(*buckets)).alias("tb"))
+        .select(id_col, "tb.table_id", "tb.bucket")
+    )
+
+
+def ivf_assign_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, cell) for each of the ``n_probe`` best cells under integer
+    centroids (components from _int_plane_val keyed ('c', cell, i)) — the
+    verifiable twin of ivf_assign. Rank = integer dot / sqrt(int norms):
+    one double divide over exact ints, IEEE-identical in SQL; ties break on
+    cell id ascending (the (-score, cell) struct sort) so the probe set is
+    deterministic. Same shuffle-free one-projection shape as
+    lsh_bucket_keys_int."""
+    dim = len(df.select(vec_col).first()[0])
+    cents = {c: [_int_plane_val("c", c, i)  # type: ignore[arg-type]
+                 for i in range(1, dim + 1)]
+             for c in range(n_cells)}
+    norms = {c: sum(p * p for p in cents[c]) for c in range(n_cells)}
+    src = df.select(F.col(id_col).cast("long").alias(id_col),
+                    _quantize_arr(vec_col).alias("_r"))
+    nr = F.greatest(
+        F.aggregate(F.transform(F.col("_r"), lambda x: x * x),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(1))
+    src = src.select(id_col, "_r", nr.alias("_nr"))
+    scored = [
+        F.struct(
+            (-(_int_dot(F.col("_r"), cents[c]).cast("double")
+               / F.sqrt((F.lit(norms[c]) * F.col("_nr")).cast("double"))))
+            .alias("neg_score"),
+            F.lit(c).alias("cell"))
+        for c in range(n_cells)
+    ]
+    top = F.slice(F.array_sort(F.array(*scored)), 1, n_probe)
+    return (
+        src.select(id_col, F.explode(top).alias("sc"))
+        .select(id_col, "sc.cell")
+    )
+
+
 def ann_ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -235,3 +235,51 @@ def test_ivf_lloyd_balances_clustered_cells(spark):
     assert r1 <= r0 + 1e-9, (r0, r1)
     assert r1 <= 3.0, (r0, r1)
     df.unpersist()
+
+
+def test_int_twin_bucketers_laws(spark):
+    from knowledge_graph_studio_spark.operators.similarity import (
+        ivf_assign_int, lsh_bucket_keys_int,
+    )
+
+    rows = [(i, [((i * 7 + j * 3) % 13 - 6) / 3.0 for j in range(8)])
+            for i in range(20)]
+    rows.append((100, rows[5][1]))  # identical vector, different id
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    vb = lsh_bucket_keys_int(df, n_planes=4, n_tables=3).collect()
+    by_id = {}
+    for r in vb:
+        assert 0 <= r["bucket"] < 16
+        by_id.setdefault(r["vec_id"], {})[r["table_id"]] = r["bucket"]
+    # every id gets one bucket per table; identical vectors share ALL keys
+    assert all(len(v) == 3 for v in by_id.values())
+    assert by_id[100] == by_id[5]
+
+    iv1 = ivf_assign_int(df, n_cells=8, n_probe=1).collect()
+    assert len(iv1) == 21  # exactly one cell per vector
+    iv4 = {r["vec_id"]: [] for r in iv1}
+    for r in ivf_assign_int(df, n_cells=8, n_probe=4).collect():
+        iv4[r["vec_id"]].append(r["cell"])
+    best = {r["vec_id"]: r["cell"] for r in iv1}
+    for vid, cells in iv4.items():
+        assert len(cells) == 4 and len(set(cells)) == 4
+        assert best[vid] in cells  # probe set contains the hard assignment
+
+
+def test_int_plane_val_matches_duckdb_md5(spark):
+    # the cross-engine contract: Python hashlib top-60-bit parse == DuckDB
+    # md5 parse, for both the plane family and the centroid family keys
+    import duckdb
+
+    from knowledge_graph_studio_spark.operators.similarity import (
+        _int_plane_val,
+    )
+
+    con = duckdb.connect()
+    for key in [("0_0_1",), ("7_3_64",), ("c_15_64",)]:
+        got = con.execute(
+            "select (cast(('0x' || substr(md5(?), 1, 15)) as bigint)"
+            " % 15) - 7", [key[0]]).fetchone()[0]
+        parts = key[0].split("_")
+        want = _int_plane_val(*parts)  # joined back with '_'
+        assert got == want, key
