@@ -415,7 +415,10 @@ def q_gopher_repetition(spark, sf):
         .when(m == 2, F.concat(F.lit("buy now " * 15), F.lit("end "), i))
         .otherwise(F.substring("text", 1, 120))
     )
-    return gopher_repetition(d.select("doc_id", page.alias("text")))
+    # raw-text keys so DuckDB groups on the same values; hash_keys=True is
+    # the production default (8-byte shuffle keys, equivalence law-tested)
+    return gopher_repetition(d.select("doc_id", page.alias("text")),
+                             hash_keys=False)
 
 
 def q_boilerplate_strip(spark, sf):

@@ -1,0 +1,128 @@
+"""End-to-end corpus curation: the composed training-data pipeline the
+individual operators exist for, in the order public pipelines run them
+(C4/CCNet-style cleaning -> Gopher filtering -> dedup -> decontamination ->
+PII redaction -> mixture):
+
+  1. canonicalize_urls + keep one doc per canonical URL (when a url column
+     is present)
+  2. strip_boilerplate (line-frequency cleaning)
+  3. span_dedup (C4 repeated-span removal)
+  4. gopher_filter (quality rules)         — drop failing docs
+  5. gopher_repetition (repetition rules)  — drop failing docs
+  6. exact dedup (md5 groups, keep min id)
+  7. decontaminate vs a heldout eval set   — drop contaminated docs
+  8. redact_pii (rewrite text)
+  9. sample_mix (deterministic mixture)    — when rates are given
+
+Every stage is one of the oracle-paired operators from cleaning/, textstats/,
+sampling/ (this module adds NO new semantics — it is the composition, so its
+correctness evidence is the per-stage contract entries plus the composition
+laws in tests/test_curation.py). The plan stays Spark-shaped end to end:
+stage outputs are DataFrames, nothing collects, and the only driver actions
+are the optional funnel counts.
+
+At 100 TB you run this as one job per stage group with materialization
+between groups (the funnel IS the audit log); at test scale the whole lazy
+composition executes as a single DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .cleaning import (
+    canonicalize_urls, decontaminate, redact_pii, span_dedup,
+    strip_boilerplate,
+)
+from .sampling import sample_mix
+from .textstats import gopher_filter, gopher_repetition
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = None,
+    eval_df: DataFrame | None = None,
+    decontaminate_n: int = 13,
+    mix_rates: dict[str, float] | None = None,
+    stratum_col: str | None = None,
+    boilerplate_max_df_frac: float = 0.05,
+    gopher: bool = True,
+) -> dict[str, DataFrame]:
+    """Run the full curation pipeline; returns ``{"docs": final_df,
+    "stages": {name: df}}`` with every intermediate stage inspectable.
+
+    The final df carries (id_col, text_col [, stratum_col, copy]) with text
+    fully cleaned and redacted. Use :func:`curation_funnel` on ``stages``
+    for the per-stage attrition report."""
+    stages: dict[str, DataFrame] = {"input": docs}
+    cur = docs
+
+    if url_col is not None:
+        c = canonicalize_urls(cur, url_col)
+        w_first = F.min(F.col(id_col)).over(
+            Window.partitionBy("canonical_url"))
+        cur = (c.withColumn("_keep", w_first == F.col(id_col))
+               .filter("_keep").drop("_keep", "canonical_url"))
+        stages["url_dedup"] = cur
+
+    extra = [c for c in cur.columns if c not in (id_col, text_col)]
+
+    def _rewrite(clean: DataFrame, src: DataFrame) -> DataFrame:
+        # swap in clean_text, preserving any extra columns from src
+        return (src.drop(text_col)
+                .join(clean.select(id_col,
+                                   F.col("clean_text").alias(text_col)),
+                      id_col))
+
+    cur = _rewrite(strip_boilerplate(
+        cur, id_col=id_col, text_col=text_col,
+        max_df_frac=boilerplate_max_df_frac), cur)
+    stages["boilerplate"] = cur
+    cur = _rewrite(span_dedup(cur, id_col=id_col, text_col=text_col), cur)
+    stages["span_dedup"] = cur
+
+    if gopher:
+        gq = gopher_filter(cur, text_col=text_col, id_cols=(id_col,))
+        cur = cur.join(gq.filter("passes = 1").select(id_col),
+                       id_col, "left_semi")
+        stages["gopher_quality"] = cur
+        gr = gopher_repetition(cur, text_col=text_col, id_cols=(id_col,))
+        cur = cur.join(gr.filter("passes = 1").select(id_col),
+                       id_col, "left_semi")
+        stages["gopher_repetition"] = cur
+
+    keepers = (cur.groupBy(F.md5(text_col).alias("_h"))
+               .agg(F.min(id_col).alias(id_col)).select(id_col))
+    cur = cur.join(keepers, id_col, "left_semi")
+    stages["exact_dedup"] = cur
+
+    if eval_df is not None:
+        cur = decontaminate(cur, eval_df, n=decontaminate_n,
+                            text_col=text_col, id_col=id_col, mode="drop")
+        stages["decontaminated"] = cur
+
+    red = redact_pii(cur, text_col=text_col, id_cols=(id_col,))
+    cur = (cur.drop(text_col)
+           .join(red.select(id_col, F.col("redacted").alias(text_col)),
+                 id_col))
+    stages["pii_redacted"] = cur
+
+    if mix_rates is not None:
+        if stratum_col is None or stratum_col not in cur.columns:
+            raise ValueError("mix_rates needs a stratum_col present in docs")
+        cur = sample_mix(cur, mix_rates, stratum_col, id_col=id_col)
+        stages["mixed"] = cur
+
+    _ = extra  # extra columns ride along via the joins above
+    return {"docs": cur, "stages": stages}
+
+
+def curation_funnel(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
+    """Per-stage row counts in pipeline order — the attrition audit a
+    curation run logs. One count job per stage (driver actions by design:
+    this is the report, not the pipeline)."""
+    return [(name, df.count()) for name, df in stages.items()]

@@ -168,6 +168,7 @@ def gopher_repetition(
     id_cols: tuple[str, ...] = ("doc_id",),
     line_sep: str = "\n", para_sep: str = "\n\n",
     thresholds: dict[str, int] | None = None,
+    hash_keys: bool = True,
 ) -> DataFrame:
     """The published Gopher repetition-removal rules (Rae et al. 2021,
     Table A1) — the other half of the filter set beside `gopher_filter`'s
@@ -194,7 +195,9 @@ def gopher_repetition(
 
     All ratios x1000 (floor). ``passes`` = 1 iff no metric exceeds its
     threshold (GOPHER_REPETITION_THRESHOLDS); ``failed`` lists violated
-    rules in fixed order.
+    rules in fixed order. ``hash_keys`` shuffles xxhash64 keys instead of
+    n-gram text (production default; False is the oracle-pairing mode,
+    equivalence law-tested).
 
     Scale shape: one posexplode-free explode of a per-row item array
     (~(2 + sum(n) ) * tokens items per doc), then two aggregations both
@@ -234,9 +237,19 @@ def gopher_repetition(
         *id_cols, "_n_chars",
         F.col("it.kind").alias("_kind"), F.col("it.key").alias("_key"),
     )
-    c1 = ex.groupBy(*id_cols, "_kind", "_key").agg(
-        F.count("*").alias("_cnt"), F.min("_n_chars").alias("_n_chars"))
-    cov = F.col("_cnt") * F.length("_key")
+    # hash_keys (production default): group on xxhash64(key) so the first
+    # shuffle carries 8-byte keys instead of n-gram text (same pattern as
+    # cleaning.span_dedup's hash_spans); the key length rides along as a
+    # pre-aggregated column. False groups on the raw text, which is how the
+    # DuckDB contract oracle pairs this operator byte-for-byte.
+    key = F.xxhash64("_kind", "_key") if hash_keys else F.col("_key")
+    c1 = ex.select(
+        *id_cols, "_n_chars", "_kind",
+        key.alias("_k"), F.length("_key").alias("_len"),
+    ).groupBy(*id_cols, "_kind", "_k").agg(
+        F.count("*").alias("_cnt"), F.min("_len").alias("_len"),
+        F.min("_n_chars").alias("_n_chars"))
+    cov = F.col("_cnt") * F.col("_len")
     dup = F.col("_cnt") > 1
     c2 = c1.groupBy(*id_cols, "_kind").agg(
         F.min("_n_chars").alias("_n_chars"),

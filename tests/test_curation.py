@@ -1,0 +1,85 @@
+"""Composition laws for the end-to-end curation pipeline: each stage's
+effect is visible in the funnel, planted artifacts are removed by exactly
+the stage that owns them, and the output is deterministic."""
+
+from pyspark.sql import functions as F
+
+from knowledge_graph_studio_spark.operators.curation import (
+    curate_corpus, curation_funnel,
+)
+
+GOOD = ("the words be to of and that have with " +
+        " ".join(f"w{i}x" for i in range(60)))
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(8):
+        # well-formed docs with planted boilerplate lines around them
+        rows.append((i, f"NAV bar\n{GOOD} uniq{i}\nFOOTER line", "en",
+                     f"http://ex.com/p/{i}"))
+    # 8: duplicate of doc 0's content (exact dup after cleaning)
+    rows.append((8, "NAV bar\n" + GOOD + " uniq0\nFOOTER line", "en",
+                 "http://ex.com/other"))
+    # 9: crawl variant of doc 1's URL (url-level dup, unique text)
+    rows.append((9, f"NAV bar\n{GOOD} uniq9\nFOOTER line", "en",
+                 "HTTP://EX.COM/p/1?utm_source=x"))
+    # 10: fails gopher quality (too short)
+    rows.append((10, "tiny doc", "en", "http://ex.com/t"))
+    # 11: passes the quality rules but fails repetition (2-gram spam)
+    rows.append((11, "the be to of and that have with "
+                 + ("buynow verygoodprice " * 30).strip(),
+                 "en", "http://ex.com/s"))
+    # 12: contaminated with the eval 13-gram
+    rows.append((12, GOOD + " contaminated alpha beta gamma delta epsilon "
+                 "zeta eta theta iota kappa lam mu nu", "en",
+                 "http://ex.com/c"))
+    # 13: contains PII, otherwise clean
+    rows.append((13, GOOD + " uniq13 mail bob@example.com now", "de",
+                 "http://ex.com/m"))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string")
+
+
+def _eval_df(spark):
+    return spark.createDataFrame(
+        [("contaminated alpha beta gamma delta epsilon zeta eta theta "
+          "iota kappa lam mu",)], "text string")
+
+
+def test_curate_corpus_stage_attribution(spark):
+    out = curate_corpus(
+        _corpus(spark), url_col="url", eval_df=_eval_df(spark),
+        decontaminate_n=13, boilerplate_max_df_frac=0.2)
+    funnel = dict(curation_funnel(out["stages"]))
+    assert funnel["input"] == 14
+    assert funnel["url_dedup"] == 13          # doc 9 folded into doc 1's url
+    assert funnel["gopher_quality"] == funnel["span_dedup"] - 1   # doc 10
+    assert funnel["gopher_repetition"] == funnel["gopher_quality"] - 1  # 11
+    assert funnel["exact_dedup"] == funnel["gopher_repetition"] - 1     # 8
+    assert funnel["decontaminated"] == funnel["exact_dedup"] - 1        # 12
+    ids = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
+    assert ids == {0, 1, 2, 3, 4, 5, 6, 7, 13}
+    by_id = {r["doc_id"]: r["text"] for r in out["docs"].collect()}
+    # boilerplate lines stripped everywhere; PII token substituted
+    assert "NAV bar" not in by_id[0] and "FOOTER" not in by_id[0]
+    assert "<EMAIL>" in by_id[13] and "bob@example.com" not in by_id[13]
+
+
+def test_curate_corpus_mixture_stage(spark):
+    out = curate_corpus(
+        _corpus(spark), url_col="url", mix_rates={"en": 1.0, "de": 0.0},
+        stratum_col="lang", boilerplate_max_df_frac=0.2)
+    langs = {r["lang"] for r in out["docs"].collect()}
+    assert langs == {"en"}
+    assert "copy" in out["docs"].columns
+
+
+def test_curate_corpus_deterministic(spark):
+    a = sorted(map(tuple, curate_corpus(
+        _corpus(spark), url_col="url",
+        boilerplate_max_df_frac=0.2)["docs"].collect()))
+    b = sorted(map(tuple, curate_corpus(
+        _corpus(spark).repartition(7), url_col="url",
+        boilerplate_max_df_frac=0.2)["docs"].collect()))
+    assert a == b

@@ -109,3 +109,18 @@ def test_gopher_repetition_short_and_empty_docs(spark):
     for i in range(3):
         assert got[i]["passes"] == 1, got[i]
         assert got[i]["dup_10gram_x1000"] == 0
+
+
+def test_gopher_repetition_hash_and_raw_keys_agree(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame([
+        (0, "dup line\ndup line\nuniq a b c d e f g h"),
+        (1, "para one x\n\npara one x\n\ntail y"),
+        (2, "buy now " * 15 + "end z"),
+    ], "doc_id long, text string")
+    a = sorted(map(tuple, gopher_repetition(df, hash_keys=True).collect()))
+    b = sorted(map(tuple, gopher_repetition(df, hash_keys=False).collect()))
+    assert a == b
