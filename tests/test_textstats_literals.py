@@ -124,3 +124,16 @@ def test_gopher_repetition_hash_and_raw_keys_agree(spark):
     a = sorted(map(tuple, gopher_repetition(df, hash_keys=True).collect()))
     b = sorted(map(tuple, gopher_repetition(df, hash_keys=False).collect()))
     assert a == b
+
+
+def test_gopher_repetition_plan_has_no_join(spark):
+    # n_chars rides the explode as a pre-aggregated column: the plan is one
+    # explode + three doc-keyed aggregations — no join anywhere
+    from knowledge_graph_studio_spark.operators.textstats import (
+        gopher_repetition,
+    )
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (gopher_repetition(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
