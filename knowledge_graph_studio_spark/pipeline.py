@@ -30,6 +30,7 @@ from .operators.linking import (
     canonical_mapping, rules_to_alias_df, upsert_edges, upsert_nodes,
 )
 from .schema_model import default_gazetteer, default_rules, default_schema
+from .session import size_input_splits
 
 
 def _config(spark: SparkSession, schema=None, gazetteer=None, rules=None):
@@ -113,6 +114,8 @@ def build_graph_resumable(
     fail_after_bucket: int | None = None,
     workspace: str = "default",
     created_by: str = "default",
+    max_chunks: int | None = 2048,
+    max_prop_vals: int | None = 2048,
 ) -> dict[str, DataFrame]:
     """Checkpointed build over a materialized pages table.
 
@@ -120,6 +123,15 @@ def build_graph_resumable(
     manifest commit. Stage 2 (global, idempotent overwrite): CC + node/edge
     aggregation over all committed triples. ``fail_after_bucket`` injects a
     crash for the resume test.
+
+    ``max_chunks``/``max_prop_vals`` bound per-node/edge provenance arrays,
+    exactly as in build_graph — but here they DEFAULT ON (2048): this is
+    the cluster entry point (tools/run_build.py), and a hot entity's
+    uncapped chunk list grows with the corpus (measured: the 38-entity
+    synthetic corpus at 384k pages spent over half its wall in the
+    node/edge aggregation hauling ~100k-chunk provenance arrays; at
+    10^12 documents the array IS the corpus). Pass None for the exact
+    uncapped reference semantics on small graphs.
 
     Graph lifecycle: a pollable status row (io.catalog.GraphStatus) follows
     the reference's creating/updating/ready/failed transitions
@@ -149,18 +161,31 @@ def build_graph_resumable(
             if fail_after_bucket is not None and b >= fail_after_bucket:
                 raise RuntimeError(f"injected failure after bucket {b}")
 
+        # Size the link stage's SCAN parallelism by split sizing, not by a
+        # repartition: the committed triples table is often far smaller than
+        # the pages conf's split size (run_build sizes maxPartitionBytes for
+        # the PAGES table), so a default read hands the whole link stage to
+        # a handful of tasks (measured 122 s vs 23 s at 16 cores). An
+        # explicit repartition().localCheckpoint() fixes parallelism too but
+        # pays a full extra shuffle of every triple plus a driver-memory
+        # materialization — measured 40% slower end-to-end than just reading
+        # with right-sized splits (A/B, r5). Re-scanning the columnar table
+        # per consumer (names agg, node build, edge build) is the cheap and
+        # cluster-correct pattern: that is what the triples table is FOR.
+        size_input_splits(spark, f"{workdir}/triples")
         triples = (
             spark.read.schema(TRIPLES_SCHEMA).parquet(f"{workdir}/triples")
             .select([f.name for f in TRIPLES_SCHEMA.fields])  # drop bucket col
-            .localCheckpoint(eager=False)
         )
         mapping = canonical_mapping(triples, alias_df=None, fuzzy=True)
         canon = triples if mapping.isEmpty() \
             else apply_canonical_mapping(triples, mapping)
         nodes = build_nodes(canon, graph=graph, workspace=workspace,
-                            created_by=created_by).persist()
+                            created_by=created_by, max_chunks=max_chunks,
+                            max_prop_vals=max_prop_vals).persist()
         edges = build_edges(canon, nodes, graph=graph, workspace=workspace,
-                            created_by=created_by)
+                            created_by=created_by, max_chunks=max_chunks,
+                            max_prop_vals=max_prop_vals)
         t0 = time.time()
         nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
         edges.write.mode("overwrite").parquet(f"{workdir}/edges")

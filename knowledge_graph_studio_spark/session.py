@@ -57,7 +57,78 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Shuffle/spill files on tmpfs: this VM's only disk is one shared
+        # virtual spindle, so any shuffle-heavy stage is serialized through
+        # it REGARDLESS of core count — measured 2.5x on the link stage's
+        # salted aggregation at 16 cores (57 s -> 23 s). A real cluster
+        # writes shuffle to executor-LOCAL NVMe whose aggregate bandwidth
+        # scales with the executor count; tmpfs is the single-box analogue.
+        # Override with SPARK_GRAFT_LOCAL_DIR (e.g. a real NVMe mount).
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/spark-local"))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def size_input_splits(spark: SparkSession, path: str) -> int:
+    """Set parquet split sizing so a scan of ``path`` yields ~2 tasks per
+    core. A table small relative to the 128 MB default packs into a handful
+    of splits and every downstream stage pipelined onto the scan loses its
+    parallelism (measured 5-8x on the extraction and link stages); a 100 TB
+    table never hits the lower clamp and keeps the default. Returns the
+    chosen split size in bytes. Session-wide: call immediately before the
+    read it is sizing (file sources bind split size at scan planning)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    cores = spark.sparkContext.defaultParallelism
+    split = int(min(max(total_bytes // (cores * 2), 1 << 20), 128 << 20))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
+    return split
+
+
+def attach_submitted_session() -> SparkSession | None:
+    """Attach to a spark-submit-launched JVM instead of building one.
+
+    Under ``spark-submit`` the gateway JVM already exists (PythonRunner
+    exports PYSPARK_GATEWAY_PORT) and carries the DEPLOYMENT's master,
+    executor topology, and memory — a builder that sets .master() here
+    would silently override the submitted cluster with local[N] (this
+    repo's round-5 submit smoke measured exactly that: every --master
+    level produced identical walls because the factory pinned local[32]).
+    Returns None when not running under spark-submit; otherwise the
+    attached session with the runtime-settable SQL tuning applied."""
+    if not os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return None
+    spark = SparkSession.builder.getOrCreate()
+    tune_sql_conf(spark)
+    return spark
+
+
+def tune_sql_conf(spark: SparkSession, cores: int | None = None) -> None:
+    """The runtime-settable subset of get_spark's tuning, for sessions whose
+    JVM someone else launched (spark-submit). Master/memory stay with the
+    deployment; these are pure SQL confs."""
+    cores = cores or spark.sparkContext.defaultParallelism
+    if not spark.sparkContext.getConf().contains("spark.sql.shuffle.partitions"):
+        # not set by spark-submit --conf: size to the actual cluster. (NB
+        # spark.conf.get(key, default) returns `default` for an UNSET key —
+        # it never surfaces the SQL default "200", so the submitted conf is
+        # the only reliable place to test explicitness.)
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cores, 8)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    spark.conf.set(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                   str(64 * 1024 * 1024))

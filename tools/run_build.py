@@ -3,8 +3,16 @@
 Cluster launch (the north rule's deployment shape):
 
     zip -r kgs.zip knowledge_graph_studio_spark
-    spark-submit --py-files kgs.zip tools/run_build.py \
+    spark-submit --py-files kgs.zip \
+        --conf spark.local.dir=/mnt/nvme/spark \
+        tools/run_build.py \
         --pages /data/pages --workdir /data/kg_out --buckets 256
+
+spark.local.dir must point at executor-local fast storage (NVMe on a real
+cluster; tmpfs on this single-disk VM) — the link stage's salted aggregation
+is shuffle-bound, and a shared slow spindle serializes it regardless of core
+count (measured 2.5x at 16 cores). It is a JVM-launch-time setting, so the
+attach path cannot apply it; it has to ride the submit command.
 
 Local smoke (synthesizes the input first):
 
@@ -36,19 +44,28 @@ def main() -> None:
                     help="tenant workspace the build runs in")
     ap.add_argument("--created-by", default="default",
                     help="tenant user the build runs as")
+    ap.add_argument("--max-chunks", type=int, default=2048,
+                    help="per-node/edge provenance cap (0 = uncapped exact "
+                         "reference semantics; hot entities then carry "
+                         "corpus-sized chunk arrays)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from knowledge_graph_studio_spark.pipeline import build_graph_resumable
 
-    # on a cluster, spark-submit provides the session config; locally fall
-    # back to the tuned factory
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        from knowledge_graph_studio_spark.session import get_spark
+    # Under spark-submit, ATTACH to the launched JVM (its --master /
+    # --driver-memory / executor topology must win; building a session with
+    # the local factory here would override the submitted cluster with
+    # local[N] — see session.attach_submitted_session). Only a plain
+    # `python tools/run_build.py` falls back to the tuned local factory.
+    from knowledge_graph_studio_spark.session import (
+        attach_submitted_session, get_spark,
+    )
 
-        spark = get_spark("kg-build")
+    spark = attach_submitted_session()
+    if spark is None:
+        spark = SparkSession.getActiveSession() or get_spark("kg-build")
     spark.sparkContext.setLogLevel("WARN")
 
     pages_path = args.pages
@@ -61,10 +78,20 @@ def main() -> None:
     if not pages_path:
         ap.error("--pages or --synthesize required")
 
+    # Size input splits for the PAGES scan to ~2 tasks per core (the
+    # pipeline re-sizes them again for the much smaller triples table before
+    # its link stage — see build_graph_resumable). A 100 TB table never hits
+    # the clamp and keeps the 128 MB default.
+    from knowledge_graph_studio_spark.session import size_input_splits
+
+    size_input_splits(spark, pages_path)
+
     t0 = time.time()
+    cap = args.max_chunks if args.max_chunks > 0 else None
     out = build_graph_resumable(
         spark, pages_path, args.workdir, n_buckets=args.buckets,
-        workspace=args.workspace, created_by=args.created_by)
+        workspace=args.workspace, created_by=args.created_by,
+        max_chunks=cap, max_prop_vals=cap)
     from knowledge_graph_studio_spark.io.catalog import GraphStatus
 
     print(json.dumps({
