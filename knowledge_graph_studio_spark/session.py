@@ -86,7 +86,12 @@ def size_input_splits(spark: SparkSession, path: str) -> int:
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total_bytes = fs.getContentSummary(hpath).getLength()
     cores = spark.sparkContext.defaultParallelism
-    split = int(min(max(total_bytes // (cores * 2), 1 << 20), 128 << 20))
+    # ~4 waves of tasks per core: fine enough that one straggling task costs
+    # a fraction of a wave (the extraction stage pipelines a Python UDF, so
+    # per-task walls vary), coarse enough that per-task overhead stays
+    # negligible. Overridable for experiments via SPARK_GRAFT_TASKS_PER_CORE.
+    tpc = int(os.environ.get("SPARK_GRAFT_TASKS_PER_CORE", "4"))
+    split = int(min(max(total_bytes // (cores * tpc), 1 << 20), 128 << 20))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
     spark.conf.set("spark.sql.files.openCostInBytes", str(64 << 10))
     return split

@@ -44,6 +44,8 @@ def main() -> None:
                     help="tenant workspace the build runs in")
     ap.add_argument("--created-by", default="default",
                     help="tenant user the build runs as")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the steady-state executor warm-up build")
     ap.add_argument("--max-chunks", type=int, default=2048,
                     help="per-node/edge provenance cap (0 = uncapped exact "
                          "reference semantics; hot entities then carry "
@@ -85,6 +87,22 @@ def main() -> None:
     from knowledge_graph_studio_spark.session import size_input_splits
 
     size_input_splits(spark, pages_path)
+
+    if not args.no_warmup:
+        # Warm the JVM codegen paths and the per-core Python workers (import
+        # pandas/pyarrow, compile the gazetteer regex) with a throwaway tiny
+        # build before the timed one. On a real cluster the executors'
+        # Python daemons are long-lived, so steady-state throughput is the
+        # honest number; a cold N-worker spawn storm would otherwise bill
+        # one-time startup proportionally to the CLUSTER size, not the job
+        # size (same rationale and shape as tools/scaling_bench.py).
+        from knowledge_graph_studio_spark.pipeline import build_graph
+        from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+        cores = spark.sparkContext.defaultParallelism
+        build_graph(spark, synthetic_pages(spark, 16 * cores, seed=1,
+                                           partitions=2 * cores)
+                    )["edges"].count()
 
     t0 = time.time()
     cap = args.max_chunks if args.max_chunks > 0 else None
