@@ -148,11 +148,14 @@ def test_hashed_topk_broadcasts_query_vector(spark, sf_dir):
 
 
 def test_build_nodes_fused_tree_has_no_join(spark):
-    """r4 fused aggregation (linking._kv_entries): the node materialization
-    is ONE salted aggregation tree — chunks and properties ride the same
-    exploded rows — so its physical plan must contain NO join at all (the
-    pre-r4 shape joined a chunks tree to a props tree; at 100 TB that was a
-    second shuffle of the same exploded data plus a join exchange)."""
+    """r4/r5 fused aggregation (linking._prop_entries + _ranked_kv): the
+    node materialization is ONE salted aggregation tree — chunks and
+    properties ride the same flat (k, is_chunk, v) rows — so its physical
+    plan must contain NO join at all (the pre-r4 shape joined a chunks tree
+    to a props tree; at 100 TB that was a second shuffle of the same
+    exploded data plus a join exchange). The r5 rank-window that bounds the
+    collect_set buffers must REUSE the partial-agg hashpartitioning, so the
+    exchange count stays at the two-phase-salted minimum."""
     from knowledge_graph_studio_spark.operators.linking import (
         build_edges, build_nodes,
     )
