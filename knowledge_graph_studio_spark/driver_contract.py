@@ -365,6 +365,46 @@ def q_dedup_ngram_jaccard(spark, sf):
                                collapse_exact="auto")
 
 
+def _neardup_pairs(spark, sf):
+    """Shared pair frame for the fuzzy-dedup cluster entries: the EXACT
+    ngram-Jaccard pairs (same args as q_dedup_ngram_jaccard, whose own entry
+    value-checks them) so the DuckDB oracle can re-derive the pair set; the
+    production scale path feeds minhash_neardup_pairs into the same cluster
+    operators (generator equivalence on planted fixtures is asserted in
+    tests/test_dedup.py)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _read(spark, sf, "documents")
+    return d, ngram_jaccard_pairs(d, jaccard_threshold=0.5,
+                                  max_shingle_df=1000, collapse_exact="auto")
+
+
+def q_neardup_clusters(spark, sf):
+    """Fuzzy-duplicate cluster resolution (dedup.neardup_clusters): verified
+    near-dup pairs -> connected components -> (member, component=min doc_id).
+    The keep-one-per-group step every public curation pipeline runs after
+    pair generation; transitivity (A~B, B~C groups A,B,C without an A-C
+    pair) is exactly what pairwise entries cannot check, and the DuckDB
+    oracle re-derives it with a recursive-CTE transitive closure — so the
+    distributed min-label loop is value-checked on real near-dup structure,
+    not just the sparse kg_connected_components graph."""
+    from .operators.dedup import neardup_clusters
+
+    d, pairs = _neardup_pairs(spark, sf)
+    return neardup_clusters(d, pairs=pairs)
+
+
+def q_neardup_dedup(spark, sf):
+    """Surviving doc ids after fuzzy dedup (dedup.neardup_dedup drop mode):
+    documents minus every non-min member of a near-dup cluster — the actual
+    corpus-shrinking step, one left-anti join against the duplicates-only
+    cluster table."""
+    from .operators.dedup import neardup_dedup
+
+    d, pairs = _neardup_pairs(spark, sf)
+    return neardup_dedup(d, pairs=pairs).select("doc_id")
+
+
 def q_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (cos >= 0.4): exact distributed
     block-pair GEMM (operators/similarity.cosine_allpairs — no driver
@@ -1228,6 +1268,8 @@ QUERIES: dict[str, _T] = {
     "windowed_events": q_windowed_events,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "neardup_clusters": q_neardup_clusters,
+    "neardup_dedup": q_neardup_dedup,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "kg_workspace_tags": q_kg_workspace_tags,
@@ -2205,3 +2247,48 @@ ORACLE_SQL["kg_pipeline_edges"] = _PIPELINE_CTE + """
     select head, relation as rel_type, tail,
            string_agg(chunk_id, ',' order by chunk_id) as chunks
     from allc group by head, head_type, relation, tail, tail_type"""
+
+
+_NGRAM_PAIR_CC_CTE = """
+    with tok as (select doc_id, string_split(text,' ') as toks from documents),
+    sh as (
+      select distinct doc_id,
+             unnest([toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]
+                     for i in range(greatest(len(toks)-2,0))]) as shingle
+      from tok),
+    sz as (select doc_id, count(*) as n from sh group by doc_id),
+    cand as (
+      select a.doc_id as da, b.doc_id as db, count(*) as common
+      from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id),
+    jpairs as (
+      select da, db
+      from cand join sz sa on da = sa.doc_id join sz sb on db = sb.doc_id
+      where common * 2 >= (sa.n + sb.n - common)),
+    e as (
+      select da as src, db as dst from jpairs
+      union
+      select db as src, da as dst from jpairs),
+    reach as (
+      with recursive r(src, dst) as (
+        select src, src from e
+        union
+        select r.src, e.dst from r join e on r.dst = e.src
+      )
+      select * from r)"""
+
+# Fuzzy-dedup cluster resolution: the same ngram-Jaccard pair derivation as
+# the dedup_ngram_jaccard oracle (tok/sh/sz literals kept textually in sync),
+# then a recursive-CTE transitive closure — so the distributed min-label CC
+# loop is value-checked on real near-dup structure including transitivity
+# (A~B, B~C => one cluster even with no direct A-C pair).
+ORACLE_SQL["neardup_clusters"] = _NGRAM_PAIR_CC_CTE + """
+    select src as member, min(dst) as component
+    from reach group by src"""
+
+ORACLE_SQL["neardup_dedup"] = _NGRAM_PAIR_CC_CTE + """
+    , cc as (
+      select src as member, min(dst) as component
+      from reach group by src)
+    select doc_id from documents
+    where doc_id not in (select member from cc where member <> component)"""

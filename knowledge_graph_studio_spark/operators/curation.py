@@ -10,9 +10,11 @@ PII redaction -> mixture):
   4. gopher_filter (quality rules)         — drop failing docs
   5. gopher_repetition (repetition rules)  — drop failing docs
   6. exact dedup (md5 groups, keep min id)
-  7. decontaminate vs a heldout eval set   — drop contaminated docs
-  8. redact_pii (rewrite text)
-  9. sample_mix (deterministic mixture)    — when rates are given
+  7. fuzzy dedup (near-dup pairs -> connected components -> keep min id
+     per cluster; dedup.neardup_dedup)     — when fuzzy_dedup=True
+  8. decontaminate vs a heldout eval set   — drop contaminated docs
+  9. redact_pii (rewrite text)
+ 10. sample_mix (deterministic mixture)    — when rates are given
 
 Every stage is one of the oracle-paired operators from cleaning/, textstats/,
 sampling/ (this module adds NO new semantics — it is the composition, so its
@@ -51,6 +53,8 @@ def curate_corpus(
     stratum_col: str | None = None,
     boilerplate_max_df_frac: float = 0.05,
     gopher: bool = True,
+    fuzzy_dedup: bool = False,
+    fuzzy_kwargs: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns ``{"docs": final_df,
     "stages": {name: df}}`` with every intermediate stage inspectable.
@@ -99,6 +103,14 @@ def curate_corpus(
                .agg(F.min(id_col).alias(id_col)).select(id_col))
     cur = cur.join(keepers, id_col, "left_semi")
     stages["exact_dedup"] = cur
+
+    if fuzzy_dedup:
+        from .dedup import neardup_dedup
+        # after the exact pass only NEAR (non-identical) duplicates remain,
+        # so the generator's collapse probe will skip its collapse here
+        cur = neardup_dedup(cur, id_col=id_col, text_col=text_col,
+                            **(fuzzy_kwargs or {}))
+        stages["fuzzy_dedup"] = cur
 
     if eval_df is not None:
         cur = decontaminate(cur, eval_df, n=decontaminate_n,

@@ -609,3 +609,78 @@ def simhash_buckets(
     return sig.select("doc_id", "simhash", bandcol.alias("bb")).select(
         "doc_id", "simhash", "bb.band_id", "bb.band_key"
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    method: str = "minhash",
+    **kw,
+) -> DataFrame:
+    """Fuzzy-duplicate CLUSTER RESOLUTION: verified near-dup pairs ->
+    connected components -> ``(member, component)`` with component = the
+    cluster's min ``id_col``. This is the keep-one-per-group step public
+    curation pipelines run after pair generation (the RefinedWeb/FineWeb
+    "fuzzy dedup" stage): transitive closure groups A,B,C whenever A~B and
+    B~C even if A and C never pair directly, so one representative survives
+    per template family instead of one per pairwise match.
+
+    ``pairs`` may be any (da, db, ...) verified-pair frame (ngram Jaccard,
+    minhash-verified, simhash); when None it is generated by ``method``
+    ("minhash" — the 100 TB default, bucketed + capped, never all-pairs;
+    "ngram" — exact, for corpora that fit the inverted-index join; "simhash")
+    with ``**kw`` passed through to the generator (jaccard_threshold,
+    text_col, collapse_exact, ...).
+
+    Scale shape: CC is linking.connected_components — iterative DataFrame
+    min-label joins, O(cluster diameter) rounds with lineage truncated per
+    round. Near-dup clusters are template families (stars/cliques), so the
+    loop converges in ~2-3 rounds; the join key is the member id, never the
+    component id, so a million-copy template does not concentrate on one
+    task. Docs with no near-dup pair appear in NO row (singletons are
+    implicit), keeping the label table proportional to the DUPLICATED subset
+    of the corpus, not the corpus."""
+    from .linking import connected_components
+
+    if pairs is None:
+        gen = {
+            "minhash": minhash_neardup_pairs,
+            "ngram": ngram_jaccard_pairs,
+            "simhash": simhash_neardup_pairs,
+        }[method]
+        pairs = gen(df, id_col=id_col, **kw)
+    return connected_components(pairs.select("da", "db"), src="da", dst="db")
+
+
+def neardup_dedup(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    mode: str = "drop",
+    method: str = "minhash",
+    clusters: DataFrame | None = None,
+    **kw,
+) -> DataFrame:
+    """Corpus after fuzzy dedup: keep the min-``id_col`` member of every
+    near-dup cluster (see neardup_clusters), pass singletons through.
+
+    ``mode="drop"`` (default) returns ``df`` minus the non-representative
+    members — ONE left-anti join on the id against the (small,
+    duplicates-only) cluster table. ``mode="tag"`` returns ``df`` with
+    ``component`` (own id for singletons) and ``is_neardup_copy`` columns
+    instead of dropping, for audit/funnel runs. ``clusters`` short-circuits
+    recomputation when the caller already resolved them."""
+    cc = clusters if clusters is not None else neardup_clusters(
+        df, pairs=pairs, id_col=id_col, method=method, **kw)
+    if mode == "tag":
+        lab = cc.select(F.col("member").alias(id_col), "component")
+        return (
+            df.join(lab, id_col, "left")
+            .withColumn("component", F.coalesce("component", F.col(id_col)))
+            .withColumn("is_neardup_copy",
+                        F.col("component") != F.col(id_col))
+        )
+    dups = (cc.filter(F.col("member") != F.col("component"))
+            .select(F.col("member").alias(id_col)))
+    return df.join(dups, id_col, "left_anti")

@@ -83,3 +83,29 @@ def test_curate_corpus_deterministic(spark):
         _corpus(spark).repartition(7), url_col="url",
         boilerplate_max_df_frac=0.2)["docs"].collect()))
     assert a == b
+
+
+def test_curate_corpus_fuzzy_dedup_stage(spark):
+    """With fuzzy_dedup=True a NEAR (non-identical) duplicate that survives
+    the exact pass is removed by the cluster stage, and the funnel shows
+    exactly that one extra drop. The docs here carry DISTINCT 60-token
+    bodies (cross-doc Jaccard ~ 0.05 through the shared stop-word prefix)
+    so only the planted near-copy pairs at J >= 0.8."""
+    rows = []
+    for i in range(6):
+        body = "the words be to of and that have with " + " ".join(
+            f"d{i}w{j}" for j in range(60))
+        rows.append((i, body, "en", f"http://ex.com/f/{i}"))
+    # 14: near-copy of doc 2 (one token mutated -> J ~ 0.9, not exact)
+    rows.append((14, rows[2][1].replace("d2w59", "mutated"), "en",
+                 "http://ex.com/near"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string")
+    out = curate_corpus(
+        docs, url_col="url", boilerplate_max_df_frac=0.2, fuzzy_dedup=True,
+        fuzzy_kwargs={"method": "ngram", "jaccard_threshold": 0.8})
+    funnel = dict(curation_funnel(out["stages"]))
+    assert funnel["exact_dedup"] == 7          # nothing byte-identical
+    assert funnel["fuzzy_dedup"] == 6          # exactly the near-copy
+    ids = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
+    assert 2 in ids and 14 not in ids

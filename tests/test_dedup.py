@@ -338,3 +338,73 @@ def test_collapse_cap_semantics_superset_on_duplicated_corpus(spark):
         assert dup_pairs <= collapsed, fn.__name__
         # ...and provably LOST by the capped uncollapsed path
         assert not (dup_pairs & plain), fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-dedup cluster resolution (neardup_clusters / neardup_dedup)
+# ---------------------------------------------------------------------------
+
+def _chain_docs(spark):
+    """A~B and B~C at 3-gram Jaccard >= 0.5 but J(A, C) = 0.25 < 0.5 — a
+    transitive chain with NO direct A-C pair — plus an unrelated singleton.
+    (12-token windows shifted by 3: 7 of 10+10-7=13 shingles shared.)"""
+    w = lambda lo, hi, p="w": " ".join(f"{p}{i}" for i in range(lo, hi + 1))
+    return spark.createDataFrame(
+        [(10, w(1, 12)), (20, w(4, 15)), (30, w(7, 18)), (40, w(1, 12, "z"))],
+        "doc_id long, text string")
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """Transitivity is the whole point of the cluster step: A,B,C must land
+    in ONE component labeled min(id) even though (A, C) never pairs, and the
+    singleton must be absent (label table stays proportional to the
+    duplicated subset, not the corpus)."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        neardup_clusters, ngram_jaccard_pairs)
+
+    docs = _chain_docs(spark)
+    pairs = {(r["da"], r["db"]) for r in
+             ngram_jaccard_pairs(docs, jaccard_threshold=0.5).collect()}
+    assert pairs == {(10, 20), (20, 30)}, pairs  # chain shape, no A-C edge
+    cc = {(r["member"], r["component"])
+          for r in neardup_clusters(docs, method="ngram").collect()}
+    assert cc == {(10, 10), (20, 10), (30, 10)}
+
+
+def test_neardup_dedup_drop_and_tag_modes(spark):
+    from knowledge_graph_studio_spark.operators.dedup import neardup_dedup
+
+    docs = _chain_docs(spark)
+    kept = {r["doc_id"]
+            for r in neardup_dedup(docs, method="ngram").collect()}
+    assert kept == {10, 40}  # one representative per cluster + singleton
+
+    tagged = {r["doc_id"]: (r["component"], r["is_neardup_copy"])
+              for r in neardup_dedup(docs, method="ngram",
+                                     mode="tag").collect()}
+    assert tagged == {10: (10, False), 20: (10, True), 30: (10, True),
+                      40: (40, False)}  # singleton keeps its own id
+    # tag mode preserves the corpus
+    assert len(tagged) == 4
+
+
+def test_neardup_clusters_generator_equivalence(spark):
+    """The production scale path (minhash-verified pairs) must resolve the
+    same clusters as the exact ngram path on planted high-J near-dups
+    (J ~ 0.9 => LSH candidate probability 1 - (1-0.9^4)^16 ~ 1-4e-8, and
+    the xxhash64 seeds make the outcome deterministic)."""
+    from knowledge_graph_studio_spark.operators.dedup import neardup_clusters
+
+    rows = []
+    for b in range(5):
+        toks = [f"d{b}t{i}" for i in range(20)]
+        rows.append((100 * b, " ".join(toks)))
+        rows.append((100 * b + 1, " ".join(toks[:-1] + ["MUT"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["member"], r["component"]) for r in neardup_clusters(
+        docs, method="ngram", collapse_exact=False).collect()}
+    mh = {(r["member"], r["component"]) for r in neardup_clusters(
+        docs, method="minhash", collapse_exact=False).collect()}
+    assert exact == {(100 * b, 100 * b) for b in range(5)} | \
+                    {(100 * b + 1, 100 * b) for b in range(5)}
+    assert mh == exact
