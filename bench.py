@@ -33,6 +33,7 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "neardup_dedup",
     "minhash_lsh",
     "simhash",
     "kg_cooccurrence",

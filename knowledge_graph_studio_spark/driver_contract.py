@@ -558,6 +558,22 @@ def q_url_canonicalize(spark, sf):
     return url_dedup_groups(d.select(url.alias("url")))
 
 
+def q_lm_unigram_score(spark, sf):
+    """CCNet-style LM quality bucketing (textstats.lm_unigram_score):
+    per-doc cross-entropy under a corpus-fitted unigram model, integer-
+    exact by construction (per-token cost = -floor(1e6*ln(count/total))
+    computed once in the vocab table, bigint sums after), bucketed by the
+    deployed-shape fixed thresholds. vocab_size=20 < the sf0.01 vocabulary
+    (31 distinct tokens), so the OOV hapax-smoothing path BINDS here
+    (guarded in test_contract_structure.py); the thresholds split sf0.01
+    into three non-empty buckets."""
+    from .operators.textstats import lm_unigram_score
+
+    d = _read(spark, sf, "documents")
+    return lm_unigram_score(d, vocab_size=20,
+                            head_x1e6=5_400_000, tail_x1e6=5_800_000)
+
+
 def q_redact_pii(spark, sf):
     """PII redaction (cleaning.redact_pii): pages plant one family each —
     an email (doc_id%4==0), a NANP phone (==1), an IPv4 literal beside a
@@ -1283,6 +1299,7 @@ QUERIES: dict[str, _T] = {
     "decontaminate": q_decontaminate,
     "sample_mix": q_sample_mix,
     "redact_pii": q_redact_pii,
+    "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
@@ -2292,3 +2309,33 @@ ORACLE_SQL["neardup_dedup"] = _NGRAM_PAIR_CC_CTE + """
       from reach group by src)
     select doc_id from documents
     where doc_id not in (select member from cc where member <> component)"""
+
+
+# CCNet-style LM score: the oracle refits the same unigram model (top-20
+# vocab by (count desc, token), costs -floor(1e6*ln(cnt/total)), OOV =
+# hapax cost) and re-derives the integer-division mean and the literal
+# bucket thresholds — both engines do the ln in IEEE double on identical
+# inputs, and every downstream step is bigint arithmetic.
+ORACLE_SQL["lm_unigram_score"] = """
+    with tok as (select doc_id, unnest(string_split(text,' ')) as tok
+                 from documents),
+    dcnt as (select doc_id, tok, count(*) as c from tok group by 1, 2),
+    cnt as (select tok, cast(sum(c) as bigint) as cnt from dcnt group by tok),
+    tot as (select cast(sum(cnt) as bigint) as total from cnt),
+    vocab as (
+      select tok, cast(-floor(1e6 * ln(cnt / t.total)) as bigint) as tok_cost
+      from (select tok, cnt from cnt order by cnt desc, tok limit 20) v,
+           tot t),
+    oov as (select cast(-floor(1e6 * ln(1.0 / total)) as bigint) as c
+            from tot),
+    scored as (
+      select d.doc_id, cast(sum(d.c) as bigint) as n_tokens,
+             cast(sum(d.c * coalesce(v.tok_cost, o.c)) // sum(d.c) as bigint)
+               as ce_x1e6
+      from dcnt d left join vocab v on d.tok = v.tok cross join oov o
+      group by d.doc_id)
+    select doc_id, n_tokens, ce_x1e6,
+           case when ce_x1e6 <= 5400000 then 'head'
+                when ce_x1e6 <= 5800000 then 'middle'
+                else 'tail' end as lm_bucket
+    from scored"""

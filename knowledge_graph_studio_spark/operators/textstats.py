@@ -358,3 +358,116 @@ def shingles(df: DataFrame, k: int = 3, text_col: str = "text",
         lambda i: F.concat_ws("_", *[F.element_at(toks, i + j) for j in range(k)]),
     )
     return src.select(id_col, F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def fit_lm_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    pre_counted: bool = False,
+) -> tuple[DataFrame, int]:
+    """Fit the unigram cost model for ``lm_unigram_score``: returns
+    ``(vocab_df, oov_cost)`` where vocab_df = (tok, tok_cost bigint), at
+    most ``vocab_size`` rows (top tokens by (count desc, token) — bounded,
+    broadcastable by construction), and oov_cost is the hapax cost. Fit it
+    once on a reference corpus, then score any number of snapshots.
+    ``pre_counted=True`` takes a (tok, cnt) frequency table instead of raw
+    documents. One scalar driver action (the corpus token total)."""
+    import math
+
+    cnt = df if pre_counted else (
+        df.select(F.explode(_tokens(text_col)).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("cnt")))
+    total = cnt.agg(F.sum("cnt")).collect()[0][0]
+    vocab = (
+        cnt.orderBy(F.desc("cnt"), "tok").limit(vocab_size)
+        .select("tok",
+                (-F.floor(F.lit(1e6) * F.log(F.col("cnt") / F.lit(float(total)))))
+                .cast("bigint").alias("tok_cost"))
+    )
+    return vocab, int(-math.floor(1e6 * math.log(1.0 / total)))
+
+
+def lm_unigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    head_x1e6: int | None = None,
+    tail_x1e6: int | None = None,
+    model: tuple[DataFrame, int] | None = None,
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per-document cross-entropy under a unigram LM fitted on the
+    corpus itself, lower = more natural text. The public pipeline buckets
+    documents into head/middle/tail by LM perplexity before training; this
+    is that step with the KenLM 5-gram replaced by an exactly-reproducible
+    unigram model (the sandbox has no model artifacts; the contract and
+    scale shape are identical, the swap-in point is the per-token cost
+    table).
+
+    Integer-exact by construction (module convention): each vocab token's
+    cost is ``-floor(1e6 * ln(count/total))`` computed ONCE in the vocab
+    table, so the per-document sum is a bigint sum — order-independent and
+    bit-stable across partitionings; ``ce_x1e6`` is the integer-div mean.
+    Out-of-vocabulary tokens cost as hapax (count=1) — deterministic
+    smoothing with no tuned constant.
+
+    Scale shape (100 TB): token counting is one map-side-combinable
+    groupBy; the top-``vocab_size`` cut sorts only the DISTINCT-token table
+    (vocabulary-sized, not corpus-sized) and bounds the model at
+    ``vocab_size`` rows, so the scoring join is a BROADCAST hash join; the
+    per-(doc, token) pre-aggregation collapses the exploded token table
+    before that join (k copies of a token in a doc hit the vocab once, not
+    k times) and shares its doc-key shuffle with the final per-doc agg.
+    Two scalar driver actions (total count, optional thresholds), both
+    single-row by contract.
+
+    ``head_x1e6`` / ``tail_x1e6`` are fixed score thresholds (the deployed
+    CCNet shape: cutoffs are fitted offline on a sample, then applied as
+    literals); when given, an ``lm_bucket`` column (head/middle/tail) is
+    added with zero extra jobs.
+
+    ``model`` = ``(vocab_df, oov_cost)`` from ``fit_lm_unigram`` scores with
+    a PRE-FITTED model instead of refitting — the deployed CCNet shape (the
+    LM is trained once on a reference corpus, e.g. Wikipedia, then applied
+    to every crawl snapshot), and it turns scoring into a single-pass
+    scan -> broadcast-join -> agg with no fit jobs at all."""
+    tok = df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("tok"))
+    dcnt = tok.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    if model is not None:
+        vocab, oov_cost = model
+    else:
+        vocab, oov_cost = fit_lm_unigram(
+            dcnt.groupBy("tok").agg(F.sum("c").alias("cnt")),
+            vocab_size=vocab_size, pre_counted=True)
+    out = (
+        dcnt.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_tokens"),
+             F.sum(F.col("c") * F.coalesce("tok_cost", F.lit(oov_cost)))
+             .alias("cost_sum"))
+        .select(id_col, F.col("n_tokens").cast("bigint"),
+                F.expr("cost_sum div n_tokens").alias("ce_x1e6"))
+    )
+    if head_x1e6 is not None and tail_x1e6 is not None:
+        out = out.withColumn(
+            "lm_bucket",
+            F.when(F.col("ce_x1e6") <= head_x1e6, F.lit("head"))
+            .when(F.col("ce_x1e6") <= tail_x1e6, F.lit("middle"))
+            .otherwise(F.lit("tail")))
+    return out
+
+
+def lm_bucket_thresholds(scored: DataFrame,
+                         fracs: tuple[float, float] = (1 / 3, 2 / 3)
+                         ) -> tuple[int, int]:
+    """Fit the head/tail cutoffs for ``lm_unigram_score`` from a scored
+    sample (the offline half of CCNet's bucketing): exact percentiles over
+    the integer score, returned as ints to feed back as literals. One
+    scalar action over the (doc-count-sized) score table."""
+    r = scored.agg(
+        F.expr(f"percentile(ce_x1e6, array({fracs[0]}, {fracs[1]}))")
+    ).collect()[0][0]
+    return int(r[0]), int(r[1])

@@ -68,3 +68,18 @@ def test_fuzzy_pairs_oracle_nonempty(con):
         pytest.skip("fuzzy_pairs not oracle-paired")
     n = len(con.execute(ORACLE_SQL["fuzzy_pairs"]).fetchall())
     assert n > 0, "fuzzy oracle matched nothing — blocking test is vacuous"
+
+
+def test_lm_unigram_score_oov_binds_and_buckets_nondegenerate(con):
+    """The lm_unigram_score entry only proves the OOV path if the sf0.01
+    vocabulary exceeds the entry's vocab_size=20 cut, and only proves the
+    bucketing if all three buckets are non-empty."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    vocab = con.execute(
+        "select count(distinct tok) from (select unnest(string_split(text,"
+        "' ')) as tok from documents)").fetchone()[0]
+    assert vocab > 20, f"vocab {vocab} <= cut: OOV path never exercised"
+    rows = con.execute(ORACLE_SQL["lm_unigram_score"]).fetchall()
+    buckets = {r[3] for r in rows}
+    assert buckets == {"head", "middle", "tail"}, buckets

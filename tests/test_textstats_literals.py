@@ -137,3 +137,84 @@ def test_gopher_repetition_plan_has_no_join(spark):
     plan = (gopher_repetition(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM unigram scoring
+# ---------------------------------------------------------------------------
+
+def _lm_docs(spark):
+    # "common common common rare": 'common' dominates the corpus, 'rare*'
+    # tokens are hapaxes
+    rows = [(i, "common " * 9 + f"rare{i}") for i in range(8)]
+    rows.append((100, "common common common common"))       # frequent-only
+    rows.append((200, "rareA rareB rareC rareD"))           # hapax-only
+    return spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string")
+
+
+def test_lm_unigram_score_ordering_and_oov(spark):
+    """Lower cross-entropy for frequent-token text; a hapax-only doc under
+    a vocab cut scores exactly the OOV (hapax) cost — and since OOV cost ==
+    hapax in-vocab cost by construction, the cut doesn't change its score."""
+    import math
+
+    from knowledge_graph_studio_spark.operators.textstats import (
+        lm_unigram_score)
+
+    docs = _lm_docs(spark)
+    s = {r["doc_id"]: r["ce_x1e6"]
+         for r in lm_unigram_score(docs, vocab_size=1).collect()}
+    assert s[100] < s[0] < s[200]
+    # total = 8*10 + 4 + 4 = 88; hapax/OOV cost = -floor(1e6*ln(1/88))
+    assert s[200] == -math.floor(1e6 * math.log(1 / 88))
+    # vocab_size=1 keeps only 'common'; every rare token goes through OOV,
+    # which costs the same as its in-vocab hapax entry would -> identical
+    # scores with the full vocab
+    full = {r["doc_id"]: r["ce_x1e6"]
+            for r in lm_unigram_score(docs, vocab_size=1000).collect()}
+    assert s == full
+
+
+def test_lm_unigram_score_partition_invariant_and_buckets(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        lm_bucket_thresholds, lm_unigram_score)
+
+    # graded common/rare mixes -> 9 distinct score levels, so the fitted
+    # terciles produce three non-empty buckets
+    docs = spark.createDataFrame(
+        [(i, " ".join(["common"] * i + [f"r{i}_{j}" for j in range(10 - i)]))
+         for i in range(1, 10)], "doc_id long, text string")
+    a = sorted(map(tuple, lm_unigram_score(docs).collect()))
+    b = sorted(map(tuple, lm_unigram_score(docs.repartition(7)).collect()))
+    assert a == b  # integer costs -> bit-stable under any partitioning
+
+    scored = lm_unigram_score(docs)
+    head, tail = lm_bucket_thresholds(scored)
+    assert head <= tail
+    bucketed = lm_unigram_score(docs, head_x1e6=head, tail_x1e6=tail)
+    by_bucket = {}
+    for r in bucketed.collect():
+        by_bucket.setdefault(r["lm_bucket"], []).append(r["ce_x1e6"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_lm_unigram_prefitted_model_matches_refit(spark):
+    """Scoring with a model pre-fitted on the same corpus must equal the
+    refit path (the deployed shape: fit once on a reference corpus, apply
+    per snapshot), and a model fitted elsewhere transfers — text unseen by
+    the reference all costs OOV."""
+    from knowledge_graph_studio_spark.operators.textstats import (
+        fit_lm_unigram, lm_unigram_score)
+
+    docs = _lm_docs(spark)
+    model = fit_lm_unigram(docs)
+    a = sorted(map(tuple, lm_unigram_score(docs).collect()))
+    b = sorted(map(tuple, lm_unigram_score(docs, model=model).collect()))
+    assert a == b
+
+    other = spark.createDataFrame([(1, "zz yy xx")], "doc_id long, text string")
+    s = lm_unigram_score(other, model=model).collect()[0]
+    assert s["ce_x1e6"] == model[1]  # every token OOV -> exactly oov_cost
