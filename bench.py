@@ -39,6 +39,7 @@ HEADLINE = [
     "kg_cooccurrence",
     "quality_score",
     "gopher_repetition",
+    "lm_unigram_score",
     "decontaminate",
     "sample_mix",
     "redact_pii",
