@@ -12,9 +12,11 @@ PII redaction -> mixture):
   6. exact dedup (md5 groups, keep min id)
   7. fuzzy dedup (near-dup pairs -> connected components -> keep min id
      per cluster; dedup.neardup_dedup)     — when fuzzy_dedup=True
-  8. decontaminate vs a heldout eval set   — drop contaminated docs
-  9. redact_pii (rewrite text)
- 10. sample_mix (deterministic mixture)    — when rates are given
+  8. CCNet LM bucketing (lm_unigram_score with a pre-fitted model; drop
+     the 'tail' bucket)                    — when lm_model is given
+  9. decontaminate vs a heldout eval set   — drop contaminated docs
+ 10. redact_pii (rewrite text)
+ 11. sample_mix (deterministic mixture)    — when rates are given
 
 Every stage is one of the oracle-paired operators from cleaning/, textstats/,
 sampling/ (this module adds NO new semantics — it is the composition, so its
@@ -55,6 +57,9 @@ def curate_corpus(
     gopher: bool = True,
     fuzzy_dedup: bool = False,
     fuzzy_kwargs: dict | None = None,
+    lm_model: tuple[DataFrame, int] | None = None,
+    lm_drop_bucket: str = "tail",
+    lm_thresholds: tuple[int, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns ``{"docs": final_df,
     "stages": {name: df}}`` with every intermediate stage inspectable.
@@ -111,6 +116,23 @@ def curate_corpus(
         cur = neardup_dedup(cur, id_col=id_col, text_col=text_col,
                             **(fuzzy_kwargs or {}))
         stages["fuzzy_dedup"] = cur
+
+    if lm_model is not None:
+        # CCNet LM bucketing after dedup: score with the PRE-FITTED model
+        # (fit once on a reference corpus via fit_lm_unigram), fit cutoffs
+        # on this corpus unless given, keep everything outside the dropped
+        # bucket (default: drop 'tail', the lowest-quality tercile)
+        from .textstats import lm_bucket_thresholds, lm_unigram_score
+        head, tail = lm_thresholds or lm_bucket_thresholds(
+            lm_unigram_score(cur, text_col=text_col, id_col=id_col,
+                             model=lm_model))
+        scored = lm_unigram_score(cur, text_col=text_col, id_col=id_col,
+                                  model=lm_model, head_x1e6=head,
+                                  tail_x1e6=tail)
+        cur = cur.join(
+            scored.filter(F.col("lm_bucket") != lm_drop_bucket)
+            .select(id_col), id_col, "left_semi")
+        stages["lm_filtered"] = cur
 
     if eval_df is not None:
         cur = decontaminate(cur, eval_df, n=decontaminate_n,

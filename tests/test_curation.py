@@ -109,3 +109,25 @@ def test_curate_corpus_fuzzy_dedup_stage(spark):
     assert funnel["fuzzy_dedup"] == 6          # exactly the near-copy
     ids = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
     assert 2 in ids and 14 not in ids
+
+
+def test_curate_corpus_lm_filter_stage(spark):
+    """With a pre-fitted LM model the tail bucket is dropped after dedup;
+    a gibberish doc (all tokens OOV vs the reference model) must land in
+    tail and be removed, while the well-formed docs survive."""
+    from knowledge_graph_studio_spark.operators.textstats import (
+        fit_lm_unigram)
+
+    base = _corpus(spark).filter("doc_id < 8")
+    gib = spark.createDataFrame(
+        [(50, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10", "en",
+          "http://ex.com/g")], "doc_id long, text string, lang string, url string")
+    model = fit_lm_unigram(base)          # reference corpus = the good docs
+    out = curate_corpus(
+        base.unionByName(gib), url_col="url", gopher=False,
+        boilerplate_max_df_frac=0.2, lm_model=model)
+    funnel = dict(curation_funnel(out["stages"]))
+    ids = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
+    assert 50 not in ids, funnel
+    assert funnel["lm_filtered"] < funnel["exact_dedup"]
+    assert {0, 1}.issubset(ids)
