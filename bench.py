@@ -76,6 +76,46 @@ def main() -> None:
         timings[name] = round(dt, 3)
         t_suite += dt
 
+    # composed curation funnel: the full training-data pipeline over the
+    # documents table in one lazy DAG — domain blocklist -> url keep-latest
+    # -> boilerplate -> span dedup -> Gopher quality+repetition -> exact +
+    # fuzzy dedup -> decontaminate -> PII redact -> lang mixture. URLs /
+    # timestamps are arithmetic crawl-shaped synthetics over doc_id (the
+    # contract fixture shape); throughput is end-to-end docs/sec.
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_studio_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    n_docs_in = docs.count()
+    # fold 10% of ids onto earlier urls: crawl-variant duplicates for the
+    # keep-latest url-dedup stage to resolve (newer warc_ts wins)
+    uid = F.col("doc_id") % (n_docs_in * 9 // 10)
+    crawl = docs.select(
+        "doc_id", "text", "lang",
+        F.concat(F.lit("http://h"), (uid % 13).cast("string"),
+                 F.lit(".dom"), (uid % 97).cast("string"),
+                 F.lit(".com/p/"), uid.cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id"))
+        .alias("warc_ts"))
+    blocked = spark.createDataFrame([("dom13.com",), ("h7.dom29.com",)],
+                                    "domain string")
+    eval_df = docs.filter(F.col("doc_id") % 31 == 5) \
+        .select(F.substring("text", 1, 120).alias("text"))
+    t0 = time.time()
+    funnel = curate_corpus(
+        crawl, url_col="url", ts_col="warc_ts", eval_df=eval_df,
+        blocked_domains=blocked, fuzzy_dedup=True,
+        mix_rates={"en": 1.0, "de": 0.8, "fr": 0.6, "es": 0.5, "zh": 0.4},
+        stratum_col="lang",
+        # synthetic-doc tuning: short word-salad docs, stopword-poor — the
+        # paper's web thresholds would empty the funnel and measure nothing
+        gopher_kwargs={"min_words": 10, "min_stop_hits": 1})
+    n_docs_out = funnel["docs"].count()
+    curation_sec = time.time() - t0
+    timings["curation_funnel"] = round(curation_sec, 3)
+    t_suite += curation_sec
+
     # flagship KG pipeline, sized to SF (sf0.1 -> 20k pages; floor keeps the
     # measurement above the fixed-overhead regime so triples/sec reflects
     # steady-state throughput, not session startup)
@@ -179,6 +219,9 @@ def main() -> None:
         "kg_zipf_edges": n_edges_z,
         "kg_zipf_triples_per_sec": round(n_triples_z / kg_zipf_sec, 2),
         "kg_zipf_pages_per_sec": round(zpages / kg_zipf_sec, 2),
+        "curation_docs_in": n_docs_in,
+        "curation_docs_out": n_docs_out,
+        "curation_docs_per_sec": round(n_docs_in / curation_sec, 2),
     }))
     spark.stop()
 

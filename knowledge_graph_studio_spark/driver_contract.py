@@ -603,6 +603,58 @@ def q_redact_pii(spark, sf):
     return redact_pii(d.select("doc_id", page.alias("text")))
 
 
+def _domain_urls(spark, sf):
+    """Shared fixture for the domain-operator entries: crawl-shaped URLs
+    whose host and registered domain are pure doc_id arithmetic, so the
+    oracle states the GROUND TRUTH directly instead of re-running the
+    parsing. Hosts h{id%3}.dom{id%5}.(com|co.uk) exercise both the default
+    last-2-label rule and the second-level public-suffix (co.uk) rule."""
+    d = _read(spark, sf, "documents").select("doc_id")
+    tld = F.when(F.col("doc_id") % 2 == 0, ".com").otherwise(".co.uk")
+    url = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".dom"), (F.col("doc_id") % 5).cast("string"), tld,
+        F.lit("/p/"), F.col("doc_id").cast("string"))
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_domain_stats(spark, sf):
+    """Per-registered-domain aggregation (cleaning.domain_stats): doc and
+    distinct-host counts per registrable domain, with co.uk hosts folding
+    to their last THREE labels (bbc.co.uk shape) and .com hosts to two.
+    The oracle computes the registered domain arithmetically from doc_id —
+    the whole host-parse + suffix-fold chain is checked against an
+    independent expectation."""
+    from .operators.cleaning import domain_stats
+
+    return domain_stats(_domain_urls(spark, sf))
+
+
+def q_domain_filter(spark, sf):
+    """Domain blocklist filter (cleaning.domain_filter, tag mode): UT1/
+    RefinedWeb-style suffix semantics over the arithmetic crawl URLs. The
+    blocklist mixes a registered-domain entry (dom0.com — blocks all its
+    hosts), a second-level-suffix entry (dom3.co.uk), and a HOST-level
+    entry (h1.dom2.com — blocks only that subdomain), plus a decoy
+    (om1.com) that must NOT catch dom1.com by mere string-suffix match."""
+    from .operators.cleaning import domain_filter
+
+    blocked = spark.createDataFrame(
+        [("dom0.com",), ("dom3.co.uk",), ("h1.dom2.com",), ("om1.com",)],
+        "domain string")
+    return domain_filter(_domain_urls(spark, sf), blocked, mode="tag")
+
+
+def q_domain_cap(spark, sf):
+    """Deterministic per-domain cap (cleaning.domain_cap): keep the 7
+    lowest doc_ids per registered domain — the keep-min-id convention of
+    exact dedup, reproduced in the oracle as a row_number window over the
+    arithmetic ground-truth domain."""
+    from .operators.cleaning import domain_cap
+
+    return domain_cap(_domain_urls(spark, sf), 7)
+
+
 def q_sample_mix(spark, sf):
     """Deterministic corpus mixing (sampling.sample_mix): languages get
     {en: 1.5x up-sampled, de: 0.5, fr: 0.25, es: keep, zh: drop}. md5_60
@@ -1296,6 +1348,9 @@ QUERIES: dict[str, _T] = {
     "boilerplate_strip": q_boilerplate_strip,
     "span_dedup": q_span_dedup,
     "url_canonicalize": q_url_canonicalize,
+    "domain_stats": q_domain_stats,
+    "domain_filter": q_domain_filter,
+    "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
     "sample_mix": q_sample_mix,
     "redact_pii": q_redact_pii,
@@ -2246,6 +2301,46 @@ ORACLE_SQL["url_canonicalize"] = """
     select canon as canonical_url, count(*) as n_variants,
            min(url) as first_variant
     from u group by canon"""
+
+# arithmetic crawl-URL fixture shared by the domain entries: host and
+# registered domain stated as GROUND TRUTH from doc_id, never re-parsed
+_DOMAIN_CTE = """
+    with u as (
+      select doc_id,
+        'http://h' || cast(doc_id % 3 as varchar)
+          || '.dom' || cast(doc_id % 5 as varchar)
+          || case when doc_id % 2 = 0 then '.com' else '.co.uk' end
+          || '/p/' || cast(doc_id as varchar) as url,
+        'h' || cast(doc_id % 3 as varchar)
+          || '.dom' || cast(doc_id % 5 as varchar)
+          || case when doc_id % 2 = 0 then '.com' else '.co.uk' end as host,
+        'dom' || cast(doc_id % 5 as varchar)
+          || case when doc_id % 2 = 0 then '.com' else '.co.uk' end as dom
+      from documents
+    )"""
+
+ORACLE_SQL["domain_stats"] = _DOMAIN_CTE + """
+    select dom as registered_domain, count(*) as n_docs,
+           count(distinct host) as n_hosts
+    from u group by dom"""
+
+# blocklist ground truth: dom0.com (registered), dom3.co.uk (second-level
+# suffix), h1.dom2.com (host-only), om1.com (string-suffix decoy: no hit)
+ORACLE_SQL["domain_filter"] = _DOMAIN_CTE + """
+    select doc_id, url,
+      cast(case
+        when doc_id % 2 = 0 and doc_id % 5 = 0 then 1
+        when doc_id % 2 = 1 and doc_id % 5 = 3 then 1
+        when doc_id % 2 = 0 and doc_id % 5 = 2 and doc_id % 3 = 1 then 1
+        else 0 end as int) as blocked
+    from u"""
+
+ORACLE_SQL["domain_cap"] = _DOMAIN_CTE + """
+    select doc_id, url from (
+      select doc_id, url,
+             row_number() over (partition by dom order by doc_id) as rk
+      from u
+    ) where rk <= 7"""
 
 ORACLE_SQL["kg_pipeline_edges"] = _PIPELINE_CTE + """
     , ekeys as (

@@ -346,3 +346,165 @@ def url_dedup_groups(
         F.count("*").alias("n_variants"),
         F.min(url_col).alias("first_variant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-level operators: host/registered-domain extraction, blocklist
+# filtering (the stage-1 URL filter of public crawl pipelines — C4 applies a
+# badwords/URL blocklist, RefinedWeb filters against the UT1 list before any
+# text processing), per-domain statistics and deterministic per-domain caps.
+# ---------------------------------------------------------------------------
+
+# Second-level public suffixes recognized by registered_domain_col. The full
+# Public Suffix List is external data this sandbox cannot fetch; this
+# built-in subset covers the common ccTLD second-level registries, and
+# callers holding the full PSL pass the rest via ``extra_suffixes``.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za", "com.sg", "co.nz",
+)
+
+
+def host_col(url) -> F.Column:
+    """Column expression: lowercased host of a URL (userinfo and port
+    stripped). Empty string for scheme-less/relative URLs. Pure regexp
+    chain — codegen'd, zero shuffle."""
+    h = F.lower(F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    h = F.regexp_replace(h, r"^[^@/]*@", "")
+    return F.regexp_replace(h, r":\d+$", "")
+
+
+def registered_domain_col(host, extra_suffixes: tuple[str, ...] = ()):
+    """Column expression: registrable domain of a host — the last two
+    labels, or the last three when the last two form a known second-level
+    public suffix (news.bbc.co.uk -> bbc.co.uk, www.example.com ->
+    example.com). Single-label hosts (localhost, IPs are left as-is) pass
+    through unchanged. All slice/concat column ops — no UDF, no shuffle."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(labels, F.greatest(n - 2, F.lit(1)), 3))
+    sufs = F.array(*[F.lit(s) for s in
+                     tuple(TWO_LEVEL_SUFFIXES) + tuple(extra_suffixes)])
+    return (
+        F.when((n >= 3) & F.array_contains(sufs, last2), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+def extract_domains(
+    df: DataFrame, url_col: str = "url",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append ``host`` and ``registered_domain`` columns derived from
+    ``url_col`` (see host_col / registered_domain_col)."""
+    return (
+        df.withColumn("host", host_col(F.col(url_col)))
+        .withColumn("registered_domain",
+                    registered_domain_col(F.col("host"), extra_suffixes))
+    )
+
+
+def domain_filter(
+    docs: DataFrame,
+    blocked: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocked_col: str = "domain",
+    mode: str = "drop",
+) -> DataFrame:
+    """UT1/RefinedWeb-style domain blocklist filter with SUFFIX semantics:
+    a blocklist entry ``ads.example.com`` blocks that host and every
+    subdomain under it (``x.ads.example.com``) but NOT a host whose name
+    merely ends with the same characters (``notads.example.com``).
+
+    ``mode="drop"`` removes blocked docs; ``mode="tag"`` appends a
+    ``blocked`` int flag instead (audit shape).
+
+    Plan: each doc's host explodes into its dot-suffixes of >= 2 labels —
+    bounded by the host's label count (~10), a per-row constant, never
+    corpus-sized — then one semi-join of those suffixes against the
+    BROADCAST blocklist (public lists are millions of short strings, tens
+    of MB: broadcastable by definition), and one anti/left join back on the
+    doc id. Blocked-side skew is impossible: the join key is the suffix
+    string and the small side is broadcast, so no shuffle of docs happens
+    at all in tag-collection; the final join is id-keyed and uniform."""
+    labels = F.split(host_col(F.col(url_col)), r"\.")
+    n = F.size(labels)
+    # suffix i covers labels[i..n]; i=1 is the full host, i=n-1 the 2-label
+    # tail. slice() caps at the array end so length n is "to the end".
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n)),
+    )
+    bl = F.broadcast(
+        blocked.select(F.lower(F.col(blocked_col)).alias("_suf")).distinct())
+    hits = (
+        docs.select(F.col(id_col), F.explode(suffixes).alias("_suf"))
+        .join(bl, "_suf", "left_semi")
+        .select(id_col).distinct()
+    )
+    if mode == "drop":
+        return docs.join(hits, id_col, "left_anti")
+    return (
+        docs.join(hits.withColumn("blocked", F.lit(1)), id_col, "left")
+        .withColumn("blocked", F.coalesce(F.col("blocked"), F.lit(0)))
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str | None = None,
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-registered-domain corpus statistics — the aggregation behind
+    domain-level curation decisions (caps, per-domain quality cuts,
+    domain mixture weights). Output: (registered_domain, n_docs, n_hosts
+    [, total_chars, mean_chars]). One hash aggregation keyed by the
+    registered domain; partial (map-side) aggregation absorbs hot domains
+    for the counts, and distinct-host counting shuffles (domain, host)
+    pairs — bounded by the distinct-host population, not the doc count."""
+    d = extract_domains(docs, url_col, extra_suffixes)
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.count_distinct("host").alias("n_hosts"),
+    ]
+    if text_col is not None:
+        aggs += [
+            F.sum(F.length(text_col)).alias("total_chars"),
+            F.avg(F.length(text_col)).alias("mean_chars"),
+        ]
+    return d.groupBy("registered_domain").agg(*aggs)
+
+
+def domain_cap(
+    docs: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    extra_suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """Deterministic per-domain document cap: keep at most
+    ``max_per_domain`` docs per registered domain, lowest ``id_col`` first
+    (the same keep-min-id convention as exact dedup). Guards the corpus
+    against a single domain dominating the mixture.
+
+    Plan: row_number over (domain, id) — one shuffle keyed by domain. A
+    pathological hot domain concentrates its rank computation on one task;
+    AQE skew-join splitting does not apply to windows, so at 100 TB a
+    hot-domain cap is better served by the hash-gate shape
+    (sampling.sample_mix with rate = cap/n_domain, approximate count) —
+    this operator is the EXACT variant and documents that tradeoff."""
+    from pyspark.sql.window import Window
+
+    d = extract_domains(docs, url_col, extra_suffixes)
+    w = Window.partitionBy("registered_domain").orderBy(F.col(id_col))
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_domain)
+        .drop("_rk", "host", "registered_domain")
+    )

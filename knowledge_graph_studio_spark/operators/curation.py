@@ -3,8 +3,10 @@ individual operators exist for, in the order public pipelines run them
 (C4/CCNet-style cleaning -> Gopher filtering -> dedup -> decontamination ->
 PII redaction -> mixture):
 
-  1. canonicalize_urls + keep one doc per canonical URL (when a url column
-     is present)
+  0. domain_filter vs a blocklist (UT1/C4 stage-0 URL filter) — when
+     blocked_domains is given
+  1. canonicalize_urls + keep one doc per canonical URL (min id, or the
+     NEWEST capture when ts_col names a warc_ts-style snapshot column)
   2. strip_boilerplate (line-frequency cleaning)
   3. span_dedup (C4 repeated-span removal)
   4. gopher_filter (quality rules)         — drop failing docs
@@ -60,6 +62,10 @@ def curate_corpus(
     lm_model: tuple[DataFrame, int] | None = None,
     lm_drop_bucket: str = "tail",
     lm_thresholds: tuple[int, int] | None = None,
+    blocked_domains: DataFrame | None = None,
+    ts_col: str | None = None,
+    gopher_kwargs: dict | None = None,
+    repetition_kwargs: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns ``{"docs": final_df,
     "stages": {name: df}}`` with every intermediate stage inspectable.
@@ -71,11 +77,26 @@ def curate_corpus(
     cur = docs
 
     if url_col is not None:
+        if blocked_domains is not None:
+            # stage 0 of public pipelines (C4 badlist, RefinedWeb/UT1):
+            # suffix-matched blocklist on the RAW url, before any text work
+            from .cleaning import domain_filter
+            cur = domain_filter(cur, blocked_domains, url_col=url_col,
+                                id_col=id_col)
+            stages["domain_filter"] = cur
         c = canonicalize_urls(cur, url_col)
-        w_first = F.min(F.col(id_col)).over(
-            Window.partitionBy("canonical_url"))
-        cur = (c.withColumn("_keep", w_first == F.col(id_col))
-               .filter("_keep").drop("_keep", "canonical_url"))
+        if ts_col is not None:
+            # crawl-snapshot semantics (url, warc_ts): keep the NEWEST
+            # capture of each resource, tie-broken to min id
+            w = Window.partitionBy("canonical_url").orderBy(
+                F.col(ts_col).desc(), F.col(id_col))
+            cur = (c.withColumn("_rk", F.row_number().over(w))
+                   .filter("_rk = 1").drop("_rk", "canonical_url"))
+        else:
+            w_first = F.min(F.col(id_col)).over(
+                Window.partitionBy("canonical_url"))
+            cur = (c.withColumn("_keep", w_first == F.col(id_col))
+                   .filter("_keep").drop("_keep", "canonical_url"))
         stages["url_dedup"] = cur
 
     extra = [c for c in cur.columns if c not in (id_col, text_col)]
@@ -95,11 +116,15 @@ def curate_corpus(
     stages["span_dedup"] = cur
 
     if gopher:
-        gq = gopher_filter(cur, text_col=text_col, id_cols=(id_col,))
+        # thresholds are corpus-tunable in every public pipeline; the
+        # defaults are the paper's web-text settings
+        gq = gopher_filter(cur, text_col=text_col, id_cols=(id_col,),
+                           **(gopher_kwargs or {}))
         cur = cur.join(gq.filter("passes = 1").select(id_col),
                        id_col, "left_semi")
         stages["gopher_quality"] = cur
-        gr = gopher_repetition(cur, text_col=text_col, id_cols=(id_col,))
+        gr = gopher_repetition(cur, text_col=text_col, id_cols=(id_col,),
+                               **(repetition_kwargs or {}))
         cur = cur.join(gr.filter("passes = 1").select(id_col),
                        id_col, "left_semi")
         stages["gopher_repetition"] = cur

@@ -232,3 +232,81 @@ def test_redact_pii_families_and_boundaries(spark):
     # not 3-3-4 shaped
     assert "2026.08.17" in got[4]["redacted"]
     assert got[4]["n_emails"] == 0 and got[4]["n_ips"] == 0
+
+
+def test_extract_domains_registered_suffixes(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import (
+        extract_domains,
+    )
+
+    docs = spark.createDataFrame([
+        (0, "http://WWW.Example.COM:80/path?q=1"),
+        (1, "https://news.bbc.co.uk/story"),
+        (2, "http://user:pw@deep.sub.host.example.com/a"),
+        (3, "http://localhost/x"),
+        (4, "https://example.com/"),
+        (5, "http://custom.two.level.test/x"),
+    ], "doc_id long, url string")
+    got = {r["doc_id"]: r for r in
+           extract_domains(docs, extra_suffixes=("level.test",)).collect()}
+    assert got[0]["host"] == "www.example.com"
+    assert got[0]["registered_domain"] == "example.com"
+    # two-level public suffix: last THREE labels
+    assert got[1]["registered_domain"] == "bbc.co.uk"
+    # userinfo stripped; deep subdomains fold to the registrable pair
+    assert got[2]["host"] == "deep.sub.host.example.com"
+    assert got[2]["registered_domain"] == "example.com"
+    # single-label host passes through
+    assert got[3]["registered_domain"] == "localhost"
+    assert got[4]["registered_domain"] == "example.com"
+    # caller-supplied extra suffix behaves like the built-ins
+    assert got[5]["registered_domain"] == "two.level.test"
+
+
+def test_domain_filter_suffix_semantics(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import (
+        domain_filter,
+    )
+
+    docs = spark.createDataFrame([
+        (0, "http://badsite.com/a"),
+        (1, "http://x.y.badsite.com/b"),      # subdomain -> blocked
+        (2, "http://notbadsite.com/c"),       # name-suffix only -> kept
+        (3, "http://good.org/d"),
+        (4, "http://ADS.Example.com/e"),      # case-folded host match
+        (5, "http://example.com/f"),          # parent of a blocked sub: kept
+    ], "doc_id long, url string")
+    blocked = spark.createDataFrame(
+        [("badsite.com",), ("Ads.example.COM",)], "domain string")
+    kept = sorted(r["doc_id"] for r in
+                  domain_filter(docs, blocked).collect())
+    assert kept == [2, 3, 5]
+    tagged = {r["doc_id"]: r["blocked"] for r in
+              domain_filter(docs, blocked, mode="tag").collect()}
+    assert tagged == {0: 1, 1: 1, 2: 0, 3: 0, 4: 1, 5: 0}
+    # the blocklist side must broadcast: no shuffle of the doc side for
+    # membership, no cartesian anywhere
+    plan = domain_filter(docs, blocked)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_stats_and_cap(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import (
+        domain_cap, domain_stats,
+    )
+
+    rows = [(i, f"http://h{i % 3}.dom{i % 2}.com/p", "x" * (i + 1))
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    stats = {r["registered_domain"]: r for r in
+             domain_stats(docs, text_col="text").collect()}
+    assert stats["dom0.com"]["n_docs"] == 5   # even ids
+    assert stats["dom0.com"]["n_hosts"] == 3  # h0/h1/h2 alternate
+    assert stats["dom1.com"]["total_chars"] == sum(
+        i + 1 for i in range(10) if i % 2 == 1)
+    capped = domain_cap(docs, 2)
+    got = sorted(r["doc_id"] for r in capped.collect())
+    assert got == [0, 1, 2, 3]  # lowest two ids per domain
+    assert capped.columns == docs.columns  # helper cols dropped

@@ -131,3 +131,39 @@ def test_curate_corpus_lm_filter_stage(spark):
     assert 50 not in ids, funnel
     assert funnel["lm_filtered"] < funnel["exact_dedup"]
     assert {0, 1}.issubset(ids)
+
+
+def test_curate_corpus_domain_blocklist_stage(spark):
+    docs = _corpus(spark).withColumn(
+        "url", F.when(F.col("doc_id") == 3,
+                      F.lit("http://sub.spam.net/x")).otherwise(F.col("url")))
+    blocked = spark.createDataFrame([("spam.net",)], "domain string")
+    out = curate_corpus(docs, url_col="url", eval_df=_eval_df(spark),
+                        blocked_domains=blocked)
+    stage = out["stages"]["domain_filter"]
+    assert 3 not in {r["doc_id"] for r in stage.select("doc_id").collect()}
+    # the blocked doc never reaches later stages
+    assert 3 not in {r["doc_id"]
+                     for r in out["docs"].select("doc_id").collect()}
+    funnel = dict(curation_funnel(out["stages"]))
+    assert funnel["domain_filter"] == funnel["input"] - 1
+
+
+def test_curate_corpus_url_keep_latest(spark):
+    # two captures of the same canonical url: ts_col keeps the NEWER one
+    # (doc 9 is the utm-variant of doc 1's url)
+    docs = _corpus(spark).withColumn(
+        "warc_ts", F.to_timestamp(
+            F.when(F.col("doc_id") == 9, F.lit("2026-02-01 00:00:00"))
+            .otherwise(F.lit("2026-01-01 00:00:00"))))
+    out = curate_corpus(docs, url_col="url", eval_df=_eval_df(spark),
+                        ts_col="warc_ts")
+    kept = {r["doc_id"] for r in
+            out["stages"]["url_dedup"].select("doc_id").collect()}
+    assert 9 in kept and 1 not in kept
+    # default (no ts_col) keeps the min-id capture
+    out2 = curate_corpus(docs.drop("warc_ts"), url_col="url",
+                         eval_df=_eval_df(spark))
+    kept2 = {r["doc_id"] for r in
+             out2["stages"]["url_dedup"].select("doc_id").collect()}
+    assert 1 in kept2 and 9 not in kept2
