@@ -28,8 +28,11 @@ stage outputs are DataFrames, nothing collects, and the only driver actions
 are the optional funnel counts.
 
 At 100 TB you run this as one job per stage group with materialization
-between groups (the funnel IS the audit log); at test scale the whole lazy
-composition executes as a single DAG.
+between groups (the funnel IS the audit log). In-process the same boundary
+exists as a non-eager localCheckpoint per stage (see _seal): each stage
+embeds its input's plan on both sides of an id-join, so an unsealed lazy
+composition would duplicate the upstream DAG exponentially across the ~10
+stages.
 """
 
 from __future__ import annotations
@@ -76,13 +79,26 @@ def curate_corpus(
     stages: dict[str, DataFrame] = {"input": docs}
     cur = docs
 
+    def _seal(df: DataFrame) -> DataFrame:
+        # Truncate lineage at each stage boundary: every stage embeds its
+        # input's plan at least twice (clean side + passthrough side of the
+        # id-join), so composing ~10 lazy stages would grow ONE flat DAG
+        # exponentially (measured: 168 s for the sf0.1 funnel vs ~20 s
+        # sealed). Non-eager localCheckpoint materializes each stage once
+        # at the first downstream action — the in-process analog of the
+        # per-stage-group materialization a 100 TB run does anyway (module
+        # docstring); it also makes the funnel report linear, since each
+        # stage count reuses the sealed blocks instead of recomputing the
+        # whole prefix.
+        return df.localCheckpoint(eager=False)
+
     if url_col is not None:
         if blocked_domains is not None:
             # stage 0 of public pipelines (C4 badlist, RefinedWeb/UT1):
             # suffix-matched blocklist on the RAW url, before any text work
             from .cleaning import domain_filter
-            cur = domain_filter(cur, blocked_domains, url_col=url_col,
-                                id_col=id_col)
+            cur = _seal(domain_filter(cur, blocked_domains, url_col=url_col,
+                                      id_col=id_col))
             stages["domain_filter"] = cur
         c = canonicalize_urls(cur, url_col)
         if ts_col is not None:
@@ -90,13 +106,13 @@ def curate_corpus(
             # capture of each resource, tie-broken to min id
             w = Window.partitionBy("canonical_url").orderBy(
                 F.col(ts_col).desc(), F.col(id_col))
-            cur = (c.withColumn("_rk", F.row_number().over(w))
-                   .filter("_rk = 1").drop("_rk", "canonical_url"))
+            cur = _seal(c.withColumn("_rk", F.row_number().over(w))
+                        .filter("_rk = 1").drop("_rk", "canonical_url"))
         else:
             w_first = F.min(F.col(id_col)).over(
                 Window.partitionBy("canonical_url"))
-            cur = (c.withColumn("_keep", w_first == F.col(id_col))
-                   .filter("_keep").drop("_keep", "canonical_url"))
+            cur = _seal(c.withColumn("_keep", w_first == F.col(id_col))
+                        .filter("_keep").drop("_keep", "canonical_url"))
         stages["url_dedup"] = cur
 
     extra = [c for c in cur.columns if c not in (id_col, text_col)]
@@ -108,11 +124,12 @@ def curate_corpus(
                                    F.col("clean_text").alias(text_col)),
                       id_col))
 
-    cur = _rewrite(strip_boilerplate(
+    cur = _seal(_rewrite(strip_boilerplate(
         cur, id_col=id_col, text_col=text_col,
-        max_df_frac=boilerplate_max_df_frac), cur)
+        max_df_frac=boilerplate_max_df_frac), cur))
     stages["boilerplate"] = cur
-    cur = _rewrite(span_dedup(cur, id_col=id_col, text_col=text_col), cur)
+    cur = _seal(_rewrite(span_dedup(cur, id_col=id_col,
+                                    text_col=text_col), cur))
     stages["span_dedup"] = cur
 
     if gopher:
@@ -120,26 +137,26 @@ def curate_corpus(
         # defaults are the paper's web-text settings
         gq = gopher_filter(cur, text_col=text_col, id_cols=(id_col,),
                            **(gopher_kwargs or {}))
-        cur = cur.join(gq.filter("passes = 1").select(id_col),
-                       id_col, "left_semi")
+        cur = _seal(cur.join(gq.filter("passes = 1").select(id_col),
+                             id_col, "left_semi"))
         stages["gopher_quality"] = cur
         gr = gopher_repetition(cur, text_col=text_col, id_cols=(id_col,),
                                **(repetition_kwargs or {}))
-        cur = cur.join(gr.filter("passes = 1").select(id_col),
-                       id_col, "left_semi")
+        cur = _seal(cur.join(gr.filter("passes = 1").select(id_col),
+                             id_col, "left_semi"))
         stages["gopher_repetition"] = cur
 
     keepers = (cur.groupBy(F.md5(text_col).alias("_h"))
                .agg(F.min(id_col).alias(id_col)).select(id_col))
-    cur = cur.join(keepers, id_col, "left_semi")
+    cur = _seal(cur.join(keepers, id_col, "left_semi"))
     stages["exact_dedup"] = cur
 
     if fuzzy_dedup:
         from .dedup import neardup_dedup
         # after the exact pass only NEAR (non-identical) duplicates remain,
         # so the generator's collapse probe will skip its collapse here
-        cur = neardup_dedup(cur, id_col=id_col, text_col=text_col,
-                            **(fuzzy_kwargs or {}))
+        cur = _seal(neardup_dedup(cur, id_col=id_col, text_col=text_col,
+                                  **(fuzzy_kwargs or {})))
         stages["fuzzy_dedup"] = cur
 
     if lm_model is not None:
@@ -154,20 +171,21 @@ def curate_corpus(
         scored = lm_unigram_score(cur, text_col=text_col, id_col=id_col,
                                   model=lm_model, head_x1e6=head,
                                   tail_x1e6=tail)
-        cur = cur.join(
+        cur = _seal(cur.join(
             scored.filter(F.col("lm_bucket") != lm_drop_bucket)
-            .select(id_col), id_col, "left_semi")
+            .select(id_col), id_col, "left_semi"))
         stages["lm_filtered"] = cur
 
     if eval_df is not None:
-        cur = decontaminate(cur, eval_df, n=decontaminate_n,
-                            text_col=text_col, id_col=id_col, mode="drop")
+        cur = _seal(decontaminate(cur, eval_df, n=decontaminate_n,
+                                  text_col=text_col, id_col=id_col,
+                                  mode="drop"))
         stages["decontaminated"] = cur
 
     red = redact_pii(cur, text_col=text_col, id_cols=(id_col,))
-    cur = (cur.drop(text_col)
-           .join(red.select(id_col, F.col("redacted").alias(text_col)),
-                 id_col))
+    cur = _seal(cur.drop(text_col)
+                .join(red.select(id_col, F.col("redacted").alias(text_col)),
+                      id_col))
     stages["pii_redacted"] = cur
 
     if mix_rates is not None:
