@@ -669,6 +669,26 @@ def q_sample_mix(spark, sf):
         stratum_col="lang", hash_fn="md5_60")
 
 
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing (sampling.pack_sequences): docs in
+    doc_id order, whitespace token counts, seq_len=512, sharded by
+    floor(doc_id/64) (monotone, so the global order is plain doc_id). The
+    oracle computes the SAME layout with one global window cumsum — equality
+    proves the two-phase (shard totals + driver prefix + per-shard window)
+    decomposition exact."""
+    from .operators.sampling import pack_sequences
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / 64).alias("shard"),
+    )
+    return pack_sequences(d, 512, shard_col="shard").select(
+        "doc_id", "n_tokens", "cum_before", "seq_id",
+        F.col("seq_offset").cast("bigint").alias("seq_offset"),
+        "seq_end_id", "n_seqs_spanned")
+
+
 def q_lang_id(spark, sf):
     """Language-ID heuristic (operators/textstats.lang_id)."""
     from .operators.textstats import lang_id
@@ -1353,6 +1373,7 @@ QUERIES: dict[str, _T] = {
     "domain_cap": q_domain_cap,
     "decontaminate": q_decontaminate,
     "sample_mix": q_sample_mix,
+    "pack_sequences": q_pack_sequences,
     "redact_pii": q_redact_pii,
     "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
@@ -2260,6 +2281,33 @@ ORACLE_SQL["redact_pii"] = """
       cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
       cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
     from documents"""
+
+# the packing layout re-derived with ONE global window cumsum: the Spark
+# side's sharded two-phase prefix sum must land on identical spans
+ORACLE_SQL["pack_sequences"] = """
+    with t as (
+      select doc_id,
+             cast(len(string_split(text, ' ')) as bigint) as n_tokens
+      from documents
+    ), c as (
+      select doc_id, n_tokens,
+             cast(coalesce(sum(n_tokens) over (
+               order by doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+             as bigint) as cum_before
+      from t
+    )
+    select doc_id, n_tokens, cum_before,
+           cum_before // 512 as seq_id,
+           cum_before % 512 as seq_offset,
+           case when n_tokens > 0
+                then (cum_before + n_tokens - 1) // 512
+                else cum_before // 512 end as seq_end_id,
+           case when n_tokens > 0
+                then (cum_before + n_tokens - 1) // 512
+                     - cum_before // 512 + 1
+                else 0 end as n_seqs_spanned
+    from c"""
 
 # the md5_60 gate re-derived in SQL: same hash, same ppm thresholds, same
 # floor + fractional-Bernoulli copy count, same 0..k-1 copy explosion

@@ -104,3 +104,113 @@ def mixture_report(
             .cast("bigint").alias("realized_rate_x1000"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk): assign every document its exact token
+# span inside the fixed-length training sequences a dataloader will cut.
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    shard_col: str | None = None,
+    max_shards: int = 100_000,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in the
+    global order ``(shard, key)`` and split every ``seq_len`` tokens into
+    training sequences; each doc gets the integer span it occupies.
+
+    Output adds to the input columns:
+      ``cum_before``  exact tokens preceding the doc in the global order
+      ``seq_id``      training sequence holding the doc's first token
+      ``seq_offset``  offset of that first token inside seq_id
+      ``seq_end_id``  sequence holding the doc's last token
+      ``n_seqs_spanned``  how many sequences the doc touches (0 for empty)
+
+    Scale design — the global prefix sum is the only coupling between
+    documents, and a single unpartitioned window would serialize 100 TB
+    through one task. It is decomposed exactly:
+
+      1. per-shard token totals (one map-side-combined groupBy producing
+         ``n_shards`` rows, collected — bounded by ``max_shards``, enforced);
+      2. exclusive shard prefixes computed on the driver and broadcast back
+         as a join on ``shard``;
+      3. a window cumsum PARTITIONED BY shard, ordered by ``key``.
+
+    ``shard_col`` must be monotone along the intended global order (crawl
+    segment, date bucket, ``floor(doc_id / k)`` — anything whose sort order
+    equals the order of its minimum keys); the operator orders output spans
+    by (shard asc, key asc). With ``shard_col=None`` everything is one shard
+    — correct, but the small-data path only (single-task window).
+
+    Every step is integer arithmetic, so the layout is bit-reproducible
+    across cluster sizes and row order — a packing spec is an auditable
+    artifact of a training run, and the DuckDB contract oracle reproduces
+    it with one global window (proving the decomposition exact).
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    shard = F.col(shard_col) if shard_col else F.lit(0)
+    d = df.withColumn("_shard", shard.cast("bigint"))
+
+    totals = (d.groupBy("_shard")
+              .agg(F.sum(tokens_col).cast("bigint").alias("_tot"))
+              .orderBy("_shard").limit(max_shards + 1).collect())
+    if len(totals) > max_shards:
+        raise ValueError(
+            f"more than max_shards={max_shards} shards; coarsen shard_col")
+    prefix, acc = [], 0
+    for r in totals:
+        prefix.append((r["_shard"], acc))
+        acc += r["_tot"] or 0
+    spark = df.sparkSession
+    prefix_df = F.broadcast(
+        spark.createDataFrame(prefix, "_shard bigint, _prefix bigint"))
+
+    w = (Window.partitionBy("_shard").orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    tok = F.col(tokens_col).cast("bigint")
+    cum = (F.col("_prefix")
+           + F.coalesce(F.sum(tokens_col).over(w), F.lit(0))).cast("bigint")
+    out = (
+        d.join(prefix_df, "_shard")
+        .withColumn("cum_before", cum)
+        .withColumn("seq_id", F.floor(F.col("cum_before") / seq_len))
+        .withColumn("seq_offset", F.pmod(F.col("cum_before"), F.lit(seq_len)))
+        .withColumn(
+            "seq_end_id",
+            F.when(tok > 0,
+                   F.floor((F.col("cum_before") + tok - 1) / seq_len))
+            .otherwise(F.col("seq_id")))
+        .withColumn(
+            "n_seqs_spanned",
+            F.when(tok > 0, F.col("seq_end_id") - F.col("seq_id") + 1)
+            .otherwise(F.lit(0)).cast("bigint"))
+        .drop("_shard", "_prefix")
+    )
+    return out
+
+
+def packing_report(
+    packed: DataFrame, seq_len: int, tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """One-row audit for a packing run: corpus totals, sequence count, tail
+    padding, and how many docs straddle a sequence boundary (the attention
+    -mask / doc-separator cost of concat-and-chunk)."""
+    return packed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("bigint")).alias("total_tokens"),
+        (F.floor(
+            (F.coalesce(F.max(F.col("cum_before")
+                              + F.col(tokens_col).cast("bigint")), F.lit(0))
+             + seq_len - 1) / seq_len)).cast("bigint").alias("n_seqs"),
+        F.sum(F.when(F.col("n_seqs_spanned") > 1, 1).otherwise(0))
+        .cast("bigint").alias("docs_crossing"),
+    ).withColumn(
+        "tail_pad_tokens",
+        (F.col("n_seqs") * seq_len - F.col("total_tokens")).cast("bigint"))

@@ -75,3 +75,82 @@ def test_sample_mix_plan_is_shuffle_free(spark):
     plan = (sample_mix(d, {"en": 1.5, "de": 0.5}, "lang")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# --- sequence packing ------------------------------------------------------
+
+from knowledge_graph_studio_spark.operators.sampling import (  # noqa: E402
+    pack_sequences, packing_report,
+)
+
+
+def _tok_corpus(spark, n=500):
+    # deterministic token counts incl. zero-token and boundary-straddling docs
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 17 == 0, 0)
+        .otherwise((F.col("id") * 37 % 190) + 1).alias("n_tokens"),
+        F.floor(F.col("id") / 50).alias("shard"),
+    )
+
+
+def _py_pack(rows, seq_len):
+    # pure-python oracle: global concat order, exact spans
+    out, cum = {}, 0
+    for doc_id, n in sorted(rows):
+        seq_id, off = cum // seq_len, cum % seq_len
+        end = (cum + n - 1) // seq_len if n > 0 else seq_id
+        out[doc_id] = (cum, seq_id, off, end, end - seq_id + 1 if n else 0)
+        cum += n
+    return out
+
+
+def test_pack_sequences_matches_python_oracle(spark):
+    d = _tok_corpus(spark, 500)
+    rows = [(r["doc_id"], r["n_tokens"]) for r in d.collect()]
+    want = _py_pack(rows, 128)
+    got = pack_sequences(d, 128, shard_col="shard").collect()
+    assert len(got) == 500
+    for r in got:
+        assert (r["cum_before"], r["seq_id"], r["seq_offset"],
+                r["seq_end_id"], r["n_seqs_spanned"]) == want[r["doc_id"]], r
+
+
+def test_pack_sequences_sharded_equals_single_shard(spark):
+    # the two-phase prefix-sum decomposition == the one-window global law
+    d = _tok_corpus(spark, 400)
+    a = {r["doc_id"]: r["cum_before"]
+         for r in pack_sequences(d, 64, shard_col="shard").collect()}
+    b = {r["doc_id"]: r["cum_before"]
+         for r in pack_sequences(d.drop("shard"), 64).collect()}
+    assert a == b
+
+
+def test_pack_sequences_deterministic_under_repartition(spark):
+    d = _tok_corpus(spark, 300)
+    a = sorted(map(tuple, pack_sequences(d, 100, shard_col="shard").collect()))
+    b = sorted(map(tuple, pack_sequences(
+        d.repartition(7), 100, shard_col="shard").collect()))
+    assert a == b
+
+
+def test_packing_report(spark):
+    d = _tok_corpus(spark, 200)
+    packed = pack_sequences(d, 128, shard_col="shard")
+    rep = packing_report(packed, 128).collect()[0]
+    total = sum(r["n_tokens"] for r in d.collect())
+    assert rep["n_docs"] == 200
+    assert rep["total_tokens"] == total
+    assert rep["n_seqs"] == (total + 127) // 128
+    assert rep["tail_pad_tokens"] == rep["n_seqs"] * 128 - total
+    crossing = sum(1 for r in packed.collect() if r["n_seqs_spanned"] > 1)
+    assert rep["docs_crossing"] == crossing
+    # empty docs exist in the fixture and span zero sequences
+    assert any(r["n_seqs_spanned"] == 0 for r in packed.collect())
+
+
+def test_pack_sequences_shard_cap(spark):
+    d = _tok_corpus(spark, 100)
+    import pytest
+    with pytest.raises(ValueError, match="max_shards"):
+        pack_sequences(d, 64, shard_col="doc_id", max_shards=10)
