@@ -689,6 +689,21 @@ def q_pack_sequences(spark, sf):
         "seq_end_id", "n_seqs_spanned")
 
 
+def q_dsir_scores(spark, sf):
+    """DSIR importance scores (sampling.fit_dsir + dsir_scores): target =
+    the English documents, raw = the whole table, 1024 md5_60 hashed
+    unigram+bigram buckets, weights in the 1e6 fixed-point ln convention
+    (same as the CCNet LM costs — both engines do the ln in IEEE double on
+    identical integer inputs, everything downstream is bigint). The oracle
+    refits the same model in SQL."""
+    from .operators.sampling import dsir_scores, fit_dsir
+
+    d = _read(spark, sf, "documents").select("doc_id", "text", "lang")
+    weights, w0 = fit_dsir(d.filter(F.col("lang") == "en"), d,
+                           n_buckets=1024, hash_fn="md5_60")
+    return dsir_scores(d, weights, w0, n_buckets=1024, hash_fn="md5_60")
+
+
 def q_lang_id(spark, sf):
     """Language-ID heuristic (operators/textstats.lang_id)."""
     from .operators.textstats import lang_id
@@ -1374,6 +1389,7 @@ QUERIES: dict[str, _T] = {
     "decontaminate": q_decontaminate,
     "sample_mix": q_sample_mix,
     "pack_sequences": q_pack_sequences,
+    "dsir_scores": q_dsir_scores,
     "redact_pii": q_redact_pii,
     "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
@@ -2281,6 +2297,42 @@ ORACLE_SQL["redact_pii"] = """
       cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
       cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
     from documents"""
+
+# the DSIR model refit in SQL: same md5_60 unigram+bigram buckets, same
+# add-1 smoothing, same floor(1e6*ln) fixed point; target (en) is a subset
+# of raw, so every scored bucket exists in the raw count table and the
+# unseen-bucket default weight never fires
+ORACLE_SQL["dsir_scores"] = """
+    with toks as (
+      select doc_id, lang, string_split(text, ' ') as l from documents
+    ), ng as (
+      select doc_id, lang, unnest(l) as ng from toks
+      union all
+      select doc_id, lang, array_to_string(l[i:i+1], ' ') as ng
+      from toks, unnest(range(1, len(l))) as t(i)
+    ), b as (
+      select doc_id, lang,
+             cast(concat('0x', substr(md5(ng), 1, 15)) as bigint) % 1024
+               as bucket
+      from ng
+    ), tc as (
+      select bucket, count(*) as ct from b where lang = 'en' group by bucket
+    ), rc as (
+      select bucket, count(*) as cr from b group by bucket
+    ), tot as (
+      select (select count(*) from b where lang = 'en') + 1024 as tt,
+             (select count(*) from b) + 1024 as tr
+    ), w as (
+      select rc.bucket,
+             cast(floor(1e6 * ln((coalesce(ct, 0) + 1) / tt))
+                  - floor(1e6 * ln((cr + 1) / tr)) as bigint) as w
+      from rc left join tc using (bucket) cross join tot
+    )
+    select b.doc_id,
+           cast(count(*) as bigint) as n_ngrams,
+           cast(sum(w.w) as bigint) as score_x1e6
+    from b join w using (bucket)
+    group by b.doc_id"""
 
 # the packing layout re-derived with ONE global window cumsum: the Spark
 # side's sharded two-phase prefix sum must land on identical spans

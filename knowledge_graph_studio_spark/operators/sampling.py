@@ -214,3 +214,134 @@ def packing_report(
     ).withColumn(
         "tail_pad_tokens",
         (F.col("n_seqs") * seq_len - F.col("total_tokens")).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by the
+# log-likelihood ratio of a hashed-ngram bag-of-words model fit on a small
+# target corpus vs the raw corpus, then keep the top-weighted documents.
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Explode each document into its hashed unigram+bigram occurrences
+    (multiplicity kept — DSIR counts occurrences, not distinct ngrams).
+    Returns (id, bucket). Pure Column API: split/transform/explode + one
+    hash, no Python. ``md5_60`` buckets are bit-identical in DuckDB (the
+    driver-contract family); ``xxhash64`` is the production default."""
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col), toks.alias("_t"))
+    t = F.col("_t")
+    # sequence(1, 0) is DESCENDING in Spark — short docs must short-circuit
+    bi_idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        bi_idx,
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)))
+    ng = F.explode(F.concat(t, bigrams)).alias("_ng")
+    exploded = d.select(id_col, ng)
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col("_ng")), F.lit(n_buckets))
+    elif hash_fn == "md5_60":
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("_ng")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(n_buckets))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    return exploded.select(id_col, bucket.alias("bucket"))
+
+
+def fit_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, int]:
+    """Fit per-bucket importance weights ``w[b] = floor(1e6*ln p_target[b])
+    - floor(1e6*ln p_raw[b])`` with add-1 smoothing, in the same 1e6
+    fixed-point convention as the CCNet LM costs (textstats.fit_lm_unigram)
+    — everything after the two ``ln`` calls is exact bigint arithmetic, so
+    scores are bit-stable and the DuckDB oracle reproduces them.
+
+    Returns ``(weights_df, default_w)``: weights_df = (bucket, w_x1e6) with
+    at most ``n_buckets`` rows — bounded and broadcastable by construction —
+    and ``default_w`` the weight of a bucket unseen in BOTH corpora.
+    ``raw`` may be a sample of the corpus being scored (the DSIR paper fits
+    on a fraction); smoothing covers buckets the sample missed."""
+    import math
+
+    tb = hashed_ngram_buckets(target, text_col, id_col, n_buckets, hash_fn) \
+        .groupBy("bucket").agg(F.count("*").alias("_ct"))
+    rb = hashed_ngram_buckets(raw, text_col, id_col, n_buckets, hash_fn) \
+        .groupBy("bucket").agg(F.count("*").alias("_cr"))
+    joined = tb.join(rb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("_ct", F.lit(0)).alias("_ct"),
+        F.coalesce("_cr", F.lit(0)).alias("_cr"),
+    )
+    tot = joined.agg(F.sum("_ct"), F.sum("_cr")).collect()[0]
+    tt, tr = int(tot[0] or 0) + n_buckets, int(tot[1] or 0) + n_buckets
+    weights = joined.select(
+        "bucket",
+        (F.floor(F.lit(1e6) * F.log((F.col("_ct") + 1) / F.lit(float(tt))))
+         - F.floor(F.lit(1e6) * F.log((F.col("_cr") + 1) / F.lit(float(tr)))))
+        .cast("bigint").alias("w_x1e6"),
+    )
+    default_w = (math.floor(1e6 * math.log(1.0 / tt))
+                 - math.floor(1e6 * math.log(1.0 / tr)))
+    return weights, default_w
+
+
+def dsir_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    default_w: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-document DSIR importance score: sum of ``w[bucket]`` over the
+    doc's hashed-ngram OCCURRENCES. One explode + one BROADCAST join against
+    the (≤ n_buckets)-row weight table + one groupBy — the 100 TB plan is a
+    scan with a map-side-combined aggregation; nothing corpus-sized
+    shuffles except the (id, partial-sum) pairs."""
+    b = hashed_ngram_buckets(df, text_col, id_col, n_buckets, hash_fn)
+    return (
+        b.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_ngrams"),
+             F.sum(F.coalesce(F.col("w_x1e6"), F.lit(default_w)))
+             .cast("bigint").alias("score_x1e6"))
+    )
+
+
+def dsir_select(
+    scored: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    temperature: float = 0.0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep the ``n`` highest-importance documents. ``temperature=0`` is the
+    deterministic top-n by (score desc, id) — a TakeOrdered, no full sort.
+    ``temperature>0`` adds hash-seeded Gumbel noise (``g = -ln(-ln(u))``
+    with ``u`` derived from the id hash), the paper's importance RESAMPLING
+    — still exactly reproducible across runs/cluster sizes because the
+    noise is a pure function of the id, unlike rand()."""
+    key = F.col("score_x1e6").cast("double") / 1e6
+    if temperature > 0:
+        h = _gate_hash(id_col, hash_fn)
+        u = (h.cast("double") + 0.5) / MIX_DENOM
+        key = key + F.lit(float(temperature)) * (-F.log(-F.log(u)))
+    return (scored.withColumn("_key", key)
+            .orderBy(F.desc("_key"), id_col).limit(n).drop("_key"))

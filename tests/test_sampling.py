@@ -154,3 +154,108 @@ def test_pack_sequences_shard_cap(spark):
     import pytest
     with pytest.raises(ValueError, match="max_shards"):
         pack_sequences(d, 64, shard_col="doc_id", max_shards=10)
+
+
+# --- DSIR importance weighting ---------------------------------------------
+
+import math
+
+from knowledge_graph_studio_spark.operators.sampling import (  # noqa: E402
+    dsir_scores, dsir_select, fit_dsir, hashed_ngram_buckets,
+)
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string")
+
+
+def _py_dsir(target, raw, score_docs, n_buckets):
+    # pure-python oracle with the same md5_60 bucketing + 1e6 fixed point
+    import hashlib
+
+    def ngrams(t):
+        toks = t.split(" ")
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(ng):
+        return int(hashlib.md5(ng.encode()).hexdigest()[:15], 16) % n_buckets
+
+    def counts(docs):
+        c = {}
+        for t in docs:
+            for ng in ngrams(t):
+                b = bucket(ng)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct, cr = counts(target), counts(raw)
+    tt = sum(ct.values()) + n_buckets
+    tr = sum(cr.values()) + n_buckets
+    w = {b: (math.floor(1e6 * math.log((ct.get(b, 0) + 1) / tt))
+             - math.floor(1e6 * math.log((cr.get(b, 0) + 1) / tr)))
+         for b in set(ct) | set(cr)}
+    w0 = (math.floor(1e6 * math.log(1.0 / tt))
+          - math.floor(1e6 * math.log(1.0 / tr)))
+    out = {}
+    for i, t in enumerate(score_docs):
+        ngs = ngrams(t)
+        out[i] = (len(ngs), sum(w.get(bucket(ng), w0) for ng in ngs))
+    return out
+
+
+def test_dsir_scores_match_python_oracle(spark):
+    target = ["the cat sat", "the dog sat on the mat", "cat and dog"]
+    raw = target + ["stock market crash", "buy cheap pills now now now",
+                    "the market", "x", ""]
+    t_df, r_df = _texts(spark, target), _texts(spark, raw)
+    weights, w0 = fit_dsir(t_df, r_df, n_buckets=64, hash_fn="md5_60")
+    got = {r["doc_id"]: (r["n_ngrams"], r["score_x1e6"])
+           for r in dsir_scores(r_df, weights, w0, n_buckets=64,
+                                hash_fn="md5_60").collect()}
+    want = _py_dsir(target, raw, raw, 64)
+    assert got == want
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    target = ["the cat sat on the mat"] * 3
+    raw = ["the cat sat on the mat", "buy cheap pills now",
+           "stock market crash today"]
+    weights, w0 = fit_dsir(_texts(spark, target), _texts(spark, raw),
+                           n_buckets=256)
+    scored = {r["doc_id"]: r["score_x1e6"]
+              for r in dsir_scores(_texts(spark, raw), weights, w0,
+                                   n_buckets=256).collect()}
+    assert scored[0] > scored[1] and scored[0] > scored[2]
+    top = dsir_select(
+        dsir_scores(_texts(spark, raw), weights, w0, n_buckets=256),
+        1).collect()
+    assert top[0]["doc_id"] == 0
+
+
+def test_dsir_deterministic_and_gumbel_reproducible(spark):
+    raw = [f"tok{i} tok{i % 7} filler words here" for i in range(200)]
+    r_df = _texts(spark, raw)
+    weights, w0 = fit_dsir(r_df.limit(20), r_df, n_buckets=128)
+    s1 = dsir_scores(r_df, weights, w0, n_buckets=128)
+    s2 = dsir_scores(r_df.repartition(9), weights, w0, n_buckets=128)
+    assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+    g1 = dsir_select(s1, 10, temperature=0.5).collect()
+    g2 = dsir_select(s2, 10, temperature=0.5).collect()
+    assert [r["doc_id"] for r in g1] == [r["doc_id"] for r in g2]
+    # temperature changes the pick (noise is actually applied)
+    t0 = [r["doc_id"] for r in dsir_select(s1, 10).collect()]
+    t9 = [r["doc_id"] for r in dsir_select(s1, 10, temperature=50.0).collect()]
+    assert t0 != t9
+
+
+def test_dsir_weight_join_is_broadcast(spark):
+    r_df = _texts(spark, ["a b c"] * 10)
+    weights, w0 = fit_dsir(r_df, r_df, n_buckets=32)
+    plan = (dsir_scores(r_df, weights, w0, n_buckets=32)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the corpus-sized scoring join must be broadcast; the fit's full-outer
+    # join of the two <=n_buckets-row count tables (embedded in the weights
+    # lineage) is the only sort-merge join allowed
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1 and "FullOuter" in plan
