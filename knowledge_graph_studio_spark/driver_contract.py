@@ -689,6 +689,20 @@ def q_pack_sequences(spark, sf):
         "seq_end_id", "n_seqs_spanned")
 
 
+def q_bloom_seen(spark, sf):
+    """Incremental crawl dedup (dedup.bloom_index_positions + seen_before):
+    history = every third document, new batch = the rest; m=4096 bits, k=4
+    probes over the md5 content digest — the md5_60 probe family is
+    bit-identical in DuckDB, so hits/false-positives reproduce exactly."""
+    from .operators.dedup import bloom_index_positions, seen_before
+
+    d = _read(spark, sf, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") % 3 == 0)
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    idx = bloom_index_positions(hist, m_bits=4096, k=4, hash_fn="md5_60")
+    return seen_before(new, idx, m_bits=4096, k=4, hash_fn="md5_60")
+
+
 def q_dsir_scores(spark, sf):
     """DSIR importance scores (sampling.fit_dsir + dsir_scores): target =
     the English documents, raw = the whole table, 1024 md5_60 hashed
@@ -1390,6 +1404,7 @@ QUERIES: dict[str, _T] = {
     "sample_mix": q_sample_mix,
     "pack_sequences": q_pack_sequences,
     "dsir_scores": q_dsir_scores,
+    "bloom_seen": q_bloom_seen,
     "redact_pii": q_redact_pii,
     "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
@@ -2297,6 +2312,37 @@ ORACLE_SQL["redact_pii"] = """
       cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
       cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
     from documents"""
+
+# the Bloom probe family re-derived in SQL: same md5 digest, same k=4
+# "#i"-salted md5_60 probes mod 4096, same distinct-positions AND rule —
+# hits AND false positives reproduce bit-for-bit
+ORACLE_SQL["bloom_seen"] = """
+    with h as (
+      select md5(text) as digest from documents where doc_id % 3 = 0
+    ), hp as (
+      select distinct
+        cast(concat('0x', substr(md5(digest || '#' || i), 1, 15)) as bigint)
+          % 4096 as pos
+      from h, unnest([0, 1, 2, 3]) as t(i)
+    ), n as (
+      select doc_id, md5(text) as digest
+      from documents where doc_id % 3 <> 0
+    ), np as (
+      select distinct doc_id,
+        cast(concat('0x', substr(md5(digest || '#' || i), 1, 15)) as bigint)
+          % 4096 as pos
+      from n, unnest([0, 1, 2, 3]) as t(i)
+    ), agg as (
+      select np.doc_id,
+             cast(count(*) as int) as n_probes,
+             cast(sum(case when hp.pos is not null then 1 else 0 end) as int)
+               as n_hits
+      from np left join hp on np.pos = hp.pos
+      group by np.doc_id
+    )
+    select doc_id, n_probes, n_hits,
+           cast(n_hits = n_probes as int) as seen
+    from agg"""
 
 # the DSIR model refit in SQL: same md5_60 unigram+bigram buckets, same
 # add-1 smoothing, same floor(1e6*ln) fixed point; target (en) is a subset

@@ -408,3 +408,82 @@ def test_neardup_clusters_generator_equivalence(spark):
     assert exact == {(100 * b, 100 * b) for b in range(5)} | \
                     {(100 * b + 1, 100 * b) for b in range(5)}
     assert mh == exact
+
+
+# --- Bloom-style incremental crawl dedup -----------------------------------
+
+
+def _bloom_corpora(spark):
+    """History of 200 docs; new batch = 100 fresh + 30 replays of history
+    content (planted true duplicates)."""
+    hist = spark.createDataFrame(
+        [(i, f"history document {i} body text {i * 7}") for i in range(200)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1000 + i, f"new document {i} fresh content {i * 13}")
+         for i in range(100)]
+        + [(2000 + i, f"history document {i} body text {i * 7}")
+           for i in range(30)],
+        "doc_id long, text string")
+    return hist, new
+
+
+def test_seen_before_recall_and_fp_bound(spark):
+    from knowledge_graph_studio_spark.operators.dedup import (
+        bloom_index_positions, seen_before,
+    )
+
+    hist, new = _bloom_corpora(spark)
+    idx = bloom_index_positions(hist, m_bits=1 << 16, k=5)
+    out = {r["doc_id"]: r["seen"]
+           for r in seen_before(new, idx, m_bits=1 << 16, k=5).collect()}
+    # no false negatives: every replayed doc is flagged
+    assert all(out[2000 + i] == 1 for i in range(30))
+    # false positives bounded: expected fpp ~ (1-e^(-5*1000/65536))^5 ~ 2e-6
+    fps = sum(out[1000 + i] for i in range(100))
+    assert fps <= 2
+
+
+def test_seen_before_join_equals_bitset(spark):
+    from knowledge_graph_studio_spark.operators.dedup import (
+        bloom_index_positions, seen_before,
+    )
+
+    hist, new = _bloom_corpora(spark)
+    # tiny filter (m=2^10) so false positives actually occur and both
+    # paths must agree on them, not just on the easy zeros
+    idx = bloom_index_positions(hist, m_bits=1 << 10, k=4)
+    a = sorted(map(tuple,
+                   seen_before(new, idx, m_bits=1 << 10, k=4).collect()))
+    b = sorted(map(tuple,
+                   seen_before(new, idx, m_bits=1 << 10, k=4,
+                               via="bitset").collect()))
+    assert a == b
+    assert any(r[3] == 1 for r in a)
+
+
+def test_seen_before_bitset_cap(spark):
+    from knowledge_graph_studio_spark.operators.dedup import (
+        bloom_index_positions, seen_before,
+    )
+
+    hist, new = _bloom_corpora(spark)
+    idx = bloom_index_positions(hist, m_bits=1 << 16, k=5)
+    with pytest.raises(ValueError, match="max_driver_positions"):
+        seen_before(new, idx, m_bits=1 << 16, k=5, via="bitset",
+                    max_driver_positions=10)
+
+
+def test_seen_before_probe_collisions_counted_once(spark):
+    from knowledge_graph_studio_spark.operators.dedup import (
+        bloom_index_positions, seen_before,
+    )
+
+    hist, new = _bloom_corpora(spark)
+    # m=64: probe-position collisions within a doc are near-certain; the
+    # law is n_probes = |distinct positions| <= k and seen iff all present
+    idx = bloom_index_positions(hist, m_bits=64, k=6)
+    for r in seen_before(new, idx, m_bits=64, k=6).collect():
+        assert 1 <= r["n_probes"] <= 6
+        assert 0 <= r["n_hits"] <= r["n_probes"]
+        assert r["seen"] == int(r["n_hits"] == r["n_probes"])
