@@ -18,7 +18,11 @@ PII redaction -> mixture):
      the 'tail' bucket)                    — when lm_model is given
   9. decontaminate vs a heldout eval set   — drop contaminated docs
  10. redact_pii (rewrite text)
- 11. sample_mix (deterministic mixture)    — when rates are given
+ 11. DSIR data selection (fit_dsir/dsir_select vs a target corpus)
+                                           — when dsir_target+dsir_top_n given
+ 12. sample_mix (deterministic mixture)    — when rates are given
+ 13. pack_sequences (concat-and-chunk layout into fixed-length training
+     sequences, hash-shuffled order)       — when pack_seq_len is given
 
 Every stage is one of the oracle-paired operators from cleaning/, textstats/,
 sampling/ (this module adds NO new semantics — it is the composition, so its
@@ -69,6 +73,11 @@ def curate_corpus(
     ts_col: str | None = None,
     gopher_kwargs: dict | None = None,
     repetition_kwargs: dict | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_top_n: int | None = None,
+    dsir_kwargs: dict | None = None,
+    pack_seq_len: int | None = None,
+    pack_shards: int = 128,
 ) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns ``{"docs": final_df,
     "stages": {name: df}}`` with every intermediate stage inspectable.
@@ -188,11 +197,45 @@ def curate_corpus(
                       id_col))
     stages["pii_redacted"] = cur
 
+    if dsir_target is not None and dsir_top_n is not None:
+        # DSIR data selection (Xie et al. 2023): fit hashed-ngram
+        # importance weights against the target corpus with the CLEANED
+        # docs as the raw distribution, keep the top-n. Runs before the
+        # mixture so up-sampling copies don't distort the raw fit.
+        from .sampling import dsir_scores, dsir_select, fit_dsir
+        kw = dict(text_col=text_col, id_col=id_col, **(dsir_kwargs or {}))
+        weights, w0 = fit_dsir(dsir_target, cur, **kw)
+        picked = dsir_select(
+            dsir_scores(cur, weights, w0, **kw), dsir_top_n, id_col=id_col)
+        cur = _seal(cur.join(picked.select(id_col), id_col, "left_semi"))
+        stages["dsir_selected"] = cur
+
     if mix_rates is not None:
         if stratum_col is None or stratum_col not in cur.columns:
             raise ValueError("mix_rates needs a stratum_col present in docs")
         cur = sample_mix(cur, mix_rates, stratum_col, id_col=id_col)
         stages["mixed"] = cur
+
+    if pack_seq_len is not None:
+        # final stage: lay the curated corpus out as fixed-length training
+        # sequences. The packing key is xxhash64(id, copy) — unique even
+        # after up-sampling, and the hash order shuffles the corpus so
+        # neighboring training sequences are decorrelated; sharding by the
+        # key's high bits is monotone by construction, so the two-phase
+        # prefix sum reproduces one global order at any cluster size.
+        from .sampling import pack_sequences
+        copy = F.col("copy") if "copy" in cur.columns else F.lit(0)
+        # arithmetic right-shift = exact monotone floor-division by 2^s,
+        # so shard order equals key order (pack_shards rounds up to a
+        # power of two)
+        shift = 64 - max(1, (pack_shards - 1).bit_length())
+        d = (cur.withColumn("_pk", F.xxhash64(F.col(id_col), copy))
+             .withColumn("n_tokens",
+                         F.size(F.split(F.col(text_col), " ")).cast("bigint"))
+             .withColumn("_shard", F.shiftright(F.col("_pk"), shift)))
+        cur = pack_sequences(d, pack_seq_len, shard_col="_shard",
+                             key_col="_pk").drop("_shard")
+        stages["packed"] = cur
 
     _ = extra  # extra columns ride along via the joins above
     return {"docs": cur, "stages": stages}

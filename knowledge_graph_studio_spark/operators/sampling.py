@@ -279,10 +279,15 @@ def fit_dsir(
     on a fraction); smoothing covers buckets the sample missed."""
     import math
 
-    tb = hashed_ngram_buckets(target, text_col, id_col, n_buckets, hash_fn) \
-        .groupBy("bucket").agg(F.count("*").alias("_ct"))
-    rb = hashed_ngram_buckets(raw, text_col, id_col, n_buckets, hash_fn) \
-        .groupBy("bucket").agg(F.count("*").alias("_cr"))
+    def _counts(d: DataFrame, alias: str) -> DataFrame:
+        # the fit only needs bucket counts — no id required, so a
+        # text-only target corpus works
+        x = d.select(F.col(text_col)).withColumn("_id", F.lit(0))
+        return (hashed_ngram_buckets(x, text_col, "_id", n_buckets, hash_fn)
+                .groupBy("bucket").agg(F.count("*").alias(alias)))
+
+    tb = _counts(target, "_ct")
+    rb = _counts(raw, "_cr")
     joined = tb.join(rb, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("_ct", F.lit(0)).alias("_ct"),

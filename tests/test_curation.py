@@ -167,3 +167,40 @@ def test_curate_corpus_url_keep_latest(spark):
     kept2 = {r["doc_id"] for r in
              out2["stages"]["url_dedup"].select("doc_id").collect()}
     assert 1 in kept2 and 9 not in kept2
+
+
+def test_curate_corpus_dsir_and_packing_stages(spark):
+    """The funnel can end in a DSIR-selected, sequence-packed training
+    corpus: selection keeps the most target-like docs, packing lays the
+    survivors out as contiguous fixed-length sequences."""
+    d = _corpus(spark)
+    target = d.filter("doc_id <= 2").select("text")
+    out = curate_corpus(
+        d, url_col="url", eval_df=_eval_df(spark),
+        boilerplate_max_df_frac=0.2,
+        dsir_target=target, dsir_top_n=5,
+        dsir_kwargs={"n_buckets": 512},
+        pack_seq_len=32, pack_shards=8,
+    )
+    stages = out["stages"]
+    assert "dsir_selected" in stages and "packed" in stages
+    assert stages["dsir_selected"].count() == 5
+    packed = out["docs"].collect()
+    assert len(packed) == 5
+    # spans are contiguous: sorted cum_before gaps equal the token counts
+    spans = sorted((r["cum_before"], r["n_tokens"]) for r in packed)
+    cum = 0
+    for start, n in spans:
+        assert start == cum
+        cum += n
+    # deterministic under repartition
+    out2 = curate_corpus(
+        d.repartition(5), url_col="url", eval_df=_eval_df(spark),
+        boilerplate_max_df_frac=0.2,
+        dsir_target=target, dsir_top_n=5,
+        dsir_kwargs={"n_buckets": 512},
+        pack_seq_len=32, pack_shards=8,
+    )
+    a = sorted(map(tuple, packed))
+    b = sorted(map(tuple, out2["docs"].collect()))
+    assert a == b
