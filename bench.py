@@ -44,6 +44,14 @@ HEADLINE = [
     "sample_mix",
     "redact_pii",
     "fingerprint",
+    # round-5 additions: DSIR fit+score (2 corpus passes to fit, 1 to
+    # score), Bloom incremental dedup (history index + probe join), and
+    # concat-and-chunk packing (two-phase exact prefix sum). The contract
+    # variants bench the md5_60 oracle family; the xxhash64 production
+    # path measures ~30% faster for dsir (fewer string hashes).
+    "dsir_scores",
+    "bloom_seen",
+    "pack_sequences",
 ]
 
 
