@@ -689,6 +689,24 @@ def q_pack_sequences(spark, sf):
         "seq_end_id", "n_seqs_spanned")
 
 
+def q_leakage_split(spark, sf):
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split):
+    even doc_ids form synthetic 5-member clusters (component = doc_id
+    rounded down to 10), odd ids are singletons; 80/10/10 weights over the
+    md5_60 gate. The oracle re-derives the coalesced cluster key and the
+    sorted-name ppm ranges (test < train < val) bit-for-bit."""
+    from .operators.sampling import leakage_safe_split
+
+    d = _read(spark, sf, "documents").select("doc_id")
+    clusters = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("member"),
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(10)))
+        .alias("component"))
+    return leakage_safe_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1},
+        clusters=clusters, hash_fn="md5_60")
+
+
 def q_bloom_seen(spark, sf):
     """Incremental crawl dedup (dedup.bloom_index_positions + seen_before):
     history = every third document, new batch = the rest; m=4096 bits, k=4
@@ -1405,6 +1423,7 @@ QUERIES: dict[str, _T] = {
     "pack_sequences": q_pack_sequences,
     "dsir_scores": q_dsir_scores,
     "bloom_seen": q_bloom_seen,
+    "leakage_split": q_leakage_split,
     "redact_pii": q_redact_pii,
     "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
@@ -2312,6 +2331,27 @@ ORACLE_SQL["redact_pii"] = """
       cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
       cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
     from documents"""
+
+# the leakage-safe split re-derived in SQL: same coalesced cluster key,
+# same md5_60 gate, same sorted-name ppm ranges (test|train|val)
+ORACLE_SQL["leakage_split"] = """
+    with c as (
+      select doc_id, doc_id - (doc_id % 10) as key
+      from documents where doc_id % 2 = 0
+    ), k as (
+      select d.doc_id, coalesce(c.key, d.doc_id) as key
+      from documents d left join c on d.doc_id = c.doc_id
+    ), g as (
+      select doc_id,
+        cast(('0x' || substr(md5(cast(key as varchar)), 1, 15)) as bigint)
+          % 1000000 as h
+      from k
+    )
+    select doc_id,
+           case when h < 100000 then 'test'
+                when h < 900000 then 'train'
+                else 'val' end as split
+    from g"""
 
 # the Bloom probe family re-derived in SQL: same md5 digest, same k=4
 # "#i"-salted md5_60 probes mod 4096, same distinct-positions AND rule —

@@ -350,3 +350,61 @@ def dsir_select(
         key = key + F.lit(float(temperature)) * (-F.log(-F.log(u)))
     return (scored.withColumn("_key", key)
             .orderBy(F.desc("_key"), id_col).limit(n).drop("_key"))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe corpus splitting: train/val/test assignment where near-dup
+# CLUSTERS move as a unit, so no template family straddles the eval split.
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Assign every document a ``split`` label with the given weights,
+    hash-gated on its DUPLICATE-CLUSTER key rather than its own id:
+    members of one near-dup cluster always land in the same split, closing
+    the train/eval leakage hole that per-document random splits leave open
+    (a near-copy of an eval document in train).
+
+    ``clusters`` is a (member, component) frame — ``dedup.neardup_clusters``
+    output, or any grouping (exact-dup md5 groups, url groups). Docs absent
+    from it are singletons and split on their own id; a LEFT join +
+    coalesce keeps the cluster table proportional to the duplicated subset.
+
+    Weights are snapped to ppm with the LAST split (by sorted name)
+    absorbing the rounding residual, so the ranges exactly tile
+    [0, MIX_DENOM) and assignment is total: reproducible across runs, row
+    order and cluster sizes, and bit-identical in DuckDB under the md5_60
+    family. One broadcast-or-shuffle join (Spark's choice by cluster-table
+    size) + one codegen'd projection — no other state.
+    """
+    total = sum(weights.values())
+    if not weights or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = sorted(weights)
+    ppm = {k: int(round(weights[k] * MIX_DENOM)) for k in names}
+    ppm[names[-1]] += MIX_DENOM - sum(ppm.values())  # absorb rounding
+
+    d = df
+    if clusters is not None:
+        c = clusters.select(F.col("member").alias(id_col),
+                            F.col("component").alias("_split_key"))
+        d = (d.join(c, id_col, "left")
+             .withColumn("_split_key",
+                         F.coalesce("_split_key", F.col(id_col))))
+    else:
+        d = d.withColumn("_split_key", F.col(id_col))
+
+    h = _gate_hash("_split_key", hash_fn)
+    expr, lo = None, 0
+    for k in names:
+        hi = lo + ppm[k]
+        cond = h < F.lit(hi)
+        expr = F.when(cond, F.lit(k)) if expr is None \
+            else expr.when(cond, F.lit(k))
+        lo = hi
+    return d.withColumn("split", expr).drop("_split_key")

@@ -259,3 +259,77 @@ def test_dsir_weight_join_is_broadcast(spark):
     # lineage) is the only sort-merge join allowed
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") <= 1 and "FullOuter" in plan
+
+
+# --- leakage-safe splitting ------------------------------------------------
+
+from knowledge_graph_studio_spark.operators.sampling import (  # noqa: E402
+    leakage_safe_split,
+)
+
+
+def test_leakage_safe_split_clusters_move_as_unit(spark):
+    # template families of 4 near-identical docs each
+    rows, cid = [], 0
+    for fam in range(200):
+        for m in range(4):
+            rows.append((fam * 10 + m, fam * 10))
+        cid += 1
+    docs = spark.createDataFrame([(i,) for i, _ in rows], "doc_id long")
+    clusters = spark.createDataFrame(rows, "member long, component long")
+    out = leakage_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters=clusters)
+    by_fam = {}
+    for r in out.collect():
+        by_fam.setdefault(r["doc_id"] // 10, set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fam.values())  # no family straddles
+    # proportions converge at the FAMILY level
+    fams = {f: next(iter(s)) for f, s in by_fam.items()}
+    n_train = sum(1 for v in fams.values() if v == "train")
+    assert abs(n_train / 200 - 0.8) < 0.1
+
+
+def test_leakage_safe_split_singletons_and_determinism(spark):
+    docs = spark.range(3000).select(F.col("id").alias("doc_id"))
+    out = leakage_safe_split(docs, {"train": 0.9, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 3000 - 0.9) < 0.03
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, leakage_safe_split(
+        docs.repartition(11), {"train": 0.9, "test": 0.1}).collect()))
+    assert a == b
+    # total assignment: every doc gets exactly one split
+    assert sum(counts.values()) == 3000
+
+
+def test_leakage_safe_split_weight_validation(spark):
+    import pytest
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, {"train": 0.5, "test": 0.2})
+    # thirds: ppm rounding residual absorbed, assignment still total
+    out = leakage_safe_split(
+        docs, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}).collect()
+    assert len(out) == 10 and all(r["split"] in "abc" for r in out)
+
+
+def test_leakage_safe_split_with_real_neardup_clusters(spark):
+    from knowledge_graph_studio_spark.operators.dedup import neardup_clusters
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = []
+    for fam in range(12):
+        fam_text = base + f" fam{fam}"
+        for m in range(3):  # 3 near-identical members (1-token tail edit)
+            rows.append((fam * 10 + m, fam_text + f" tail{m}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = neardup_clusters(docs, method="ngram",
+                                jaccard_threshold=0.7, shingle_k=3)
+    out = leakage_safe_split(
+        docs, {"train": 0.5, "test": 0.5}, clusters=clusters)
+    by_fam = {}
+    for r in out.collect():
+        by_fam.setdefault(r["doc_id"] // 10, set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_fam.values())
