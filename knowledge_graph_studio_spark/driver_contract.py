@@ -689,6 +689,20 @@ def q_pack_sequences(spark, sf):
         "seq_end_id", "n_seqs_spanned")
 
 
+def q_lm_bigram_score(spark, sf):
+    """Stupid-backoff bigram LM score (textstats.fit_lm_bigram +
+    lm_bigram_score): vocab 20 / top-64 bigrams refit on the table, first
+    token at unigram cost, the rest at bigram cost with the published 0.4
+    backoff penalty onto the unigram (OOV = hapax). Same 1e6 fixed-point
+    ln convention as the CCNet entry; the oracle refits in SQL with the
+    backoff constant generated from the module's BACKOFF_X1E6."""
+    from .operators.textstats import fit_lm_bigram, lm_bigram_score
+
+    d = _read(spark, sf, "documents")
+    model = fit_lm_bigram(d, vocab_size=20, bigram_size=64)
+    return lm_bigram_score(d, model)
+
+
 def q_leakage_split(spark, sf):
     """Leakage-safe train/val/test split (sampling.leakage_safe_split):
     even doc_ids form synthetic 5-member clusters (component = doc_id
@@ -1424,6 +1438,7 @@ QUERIES: dict[str, _T] = {
     "dsir_scores": q_dsir_scores,
     "bloom_seen": q_bloom_seen,
     "leakage_split": q_leakage_split,
+    "lm_bigram_score": q_lm_bigram_score,
     "redact_pii": q_redact_pii,
     "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
@@ -2331,6 +2346,64 @@ ORACLE_SQL["redact_pii"] = """
       cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
       cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
     from documents"""
+
+# the stupid-backoff bigram model refit in SQL — vocab/bigram tables,
+# costs, backoff penalty and the first-token/pair split all re-derived;
+# the 0.4 penalty constant is generated from textstats.BACKOFF_X1E6 so the
+# SQL cannot desynchronize from the engine
+def _lm_bigram_oracle_sql(vocab_size: int = 20, bigram_size: int = 64) -> str:
+    from .operators.textstats import BACKOFF_X1E6
+
+    return f"""
+    with toks as (
+      select doc_id, string_split(text, ' ') as l from documents
+    ), ucnt as (
+      select tok, cast(count(*) as bigint) as cnt
+      from (select unnest(l) as tok from toks) group by tok
+    ), tot as (
+      select cast(sum(cnt) as bigint) as total from ucnt
+    ), vocab as (
+      select tok, cast(-floor(1e6 * ln(cnt / t.total)) as bigint) as tok_cost
+      from (select tok, cnt from ucnt
+            order by cnt desc, tok limit {vocab_size}) v, tot t
+    ), oov as (
+      select cast(-floor(1e6 * ln(1.0 / total)) as bigint) as c from tot
+    ), dp as (
+      select doc_id, l[i] as w1, l[i + 1] as w2
+      from toks, unnest(range(1, len(l))) as t(i)
+    ), bcnt as (
+      select w1, w2, count(*) as c12 from dp group by w1, w2
+    ), bigram as (
+      select b.w1, b.w2,
+             cast(-floor(1e6 * ln(b.c12 / u.cnt)) as bigint) as bi_cost
+      from (select * from bcnt
+            order by c12 desc, w1, w2 limit {bigram_size}) b
+      join ucnt u on b.w1 = u.tok
+    ), dpc as (
+      select doc_id, w1, w2, cast(count(*) as bigint) as c
+      from dp group by 1, 2, 3
+    ), pc as (
+      select d.doc_id, d.c,
+             coalesce(bg.bi_cost,
+                      {BACKOFF_X1E6} + coalesce(v.tok_cost, o.c)) as cost
+      from dpc d
+      left join bigram bg on d.w1 = bg.w1 and d.w2 = bg.w2
+      left join vocab v on d.w2 = v.tok
+      cross join oov o
+    ), fst as (
+      select t.doc_id, cast(len(t.l) as bigint) as n_tokens,
+             coalesce(v.tok_cost, o.c) as first_cost
+      from toks t left join vocab v on t.l[1] = v.tok cross join oov o
+    ), agg as (
+      select doc_id, sum(c * cost) as pair_sum from pc group by doc_id
+    )
+    select f.doc_id, f.n_tokens,
+           cast((f.first_cost + coalesce(a.pair_sum, 0)) // f.n_tokens
+                as bigint) as ce_x1e6
+    from fst f left join agg a on f.doc_id = a.doc_id"""
+
+
+ORACLE_SQL["lm_bigram_score"] = _lm_bigram_oracle_sql()
 
 # the leakage-safe split re-derived in SQL: same coalesced cluster key,
 # same md5_60 gate, same sorted-name ppm ranges (test|train|val)

@@ -170,16 +170,24 @@ def curate_corpus(
 
     if lm_model is not None:
         # CCNet LM bucketing after dedup: score with the PRE-FITTED model
-        # (fit once on a reference corpus via fit_lm_unigram), fit cutoffs
-        # on this corpus unless given, keep everything outside the dropped
-        # bucket (default: drop 'tail', the lowest-quality tercile)
-        from .textstats import lm_bucket_thresholds, lm_unigram_score
-        head, tail = lm_thresholds or lm_bucket_thresholds(
-            lm_unigram_score(cur, text_col=text_col, id_col=id_col,
-                             model=lm_model))
-        scored = lm_unigram_score(cur, text_col=text_col, id_col=id_col,
-                                  model=lm_model, head_x1e6=head,
-                                  tail_x1e6=tail)
+        # (fit once on a reference corpus via fit_lm_unigram — 2-tuple — or
+        # fit_lm_bigram for contextual stupid-backoff costs — 3-tuple),
+        # fit cutoffs on this corpus unless given, keep everything outside
+        # the dropped bucket (default: drop 'tail', the lowest tercile)
+        from .textstats import (lm_bigram_score, lm_bucket_thresholds,
+                                lm_unigram_score)
+        if len(lm_model) == 3:
+            scored0 = lm_bigram_score(cur, lm_model, text_col=text_col,
+                                      id_col=id_col)
+        else:
+            scored0 = lm_unigram_score(cur, text_col=text_col,
+                                       id_col=id_col, model=lm_model)
+        head, tail = lm_thresholds or lm_bucket_thresholds(scored0)
+        scored = scored0.withColumn(
+            "lm_bucket",
+            F.when(F.col("ce_x1e6") <= head, F.lit("head"))
+            .when(F.col("ce_x1e6") <= tail, F.lit("middle"))
+            .otherwise(F.lit("tail")))
         cur = _seal(cur.join(
             scored.filter(F.col("lm_bucket") != lm_drop_bucket)
             .select(id_col), id_col, "left_semi"))

@@ -471,3 +471,120 @@ def lm_bucket_thresholds(scored: DataFrame,
         F.expr(f"percentile(ce_x1e6, array({fracs[0]}, {fracs[1]}))")
     ).collect()[0][0]
     return int(r[0]), int(r[1])
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM (Brants et al. 2007, "Large Language Models in
+# Machine Translation"): the web-scale scoring model — no discount mass to
+# tune, counts only, which is exactly why Google used it at trillion-token
+# scale. Upgrades the CCNet bucketing from unigram to contextual costs.
+
+# -floor(1e6 * ln(0.4)): the published stupid-backoff penalty in this
+# module's 1e6 fixed-point convention
+import math as _math
+
+BACKOFF_X1E6 = -_math.floor(1e6 * _math.log(0.4))
+
+
+def fit_lm_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit the stupid-backoff bigram model: returns ``(bigram_df, vocab_df,
+    oov_cost)`` where bigram_df = (w1, w2, bi_cost bigint) holds the top
+    ``bigram_size`` bigrams by (count desc, w1, w2) with
+    ``bi_cost = -floor(1e6 * ln(count(w1 w2) / count(w1)))``, and
+    (vocab_df, oov_cost) is the ``fit_lm_unigram`` backoff model.
+
+    Both model tables are bounded by construction (vocabulary- and
+    parameter-sized, not corpus-sized), so scoring joins broadcast. The
+    corpus-sized work is two map-side-combinable aggregations (unigram and
+    bigram counts); everything after the two ``ln`` calls is bigint."""
+    toks = df.select(_tokens(text_col).alias("_t"))
+    t = F.col("_t")
+    uni = (toks.select(F.explode(t).alias("tok"))
+           .groupBy("tok").agg(F.count("*").alias("cnt")))
+    vocab, oov_cost = fit_lm_unigram(uni, vocab_size=vocab_size,
+                                     pre_counted=True)
+
+    bi_idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    pairs = toks.select(F.explode(F.transform(
+        bi_idx,
+        lambda i: F.struct(F.element_at(t, i).alias("w1"),
+                           F.element_at(t, i + 1).alias("w2"))))
+        .alias("p")).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bigram = (
+        c12.orderBy(F.desc("c12"), "w1", "w2").limit(bigram_size)
+        .join(uni.select(F.col("tok").alias("w1"),
+                         F.col("cnt").alias("c1")), "w1")
+        .select("w1", "w2",
+                (-F.floor(F.lit(1e6)
+                          * F.log(F.col("c12") / F.col("c1"))))
+                .cast("bigint").alias("bi_cost"))
+    )
+    return bigram, vocab, oov_cost
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy under the stupid-backoff bigram model:
+    the first token costs its unigram price; every following token costs
+    the bigram price when (w1, w2) is in the model, else
+    ``BACKOFF_X1E6 + unigram(w2)`` (OOV backs off to the hapax cost).
+    Output (id, n_tokens, ce_x1e6) in the module's bigint convention —
+    order-independent and bit-stable.
+
+    Plan: one explode into per-doc (w1, w2) pair counts + one per-doc
+    first-token row, two BROADCAST joins against the bounded model tables,
+    one doc-keyed aggregation. Nothing corpus-sized shuffles except
+    (doc, partial-sum) pairs."""
+    bigram, vocab, oov_cost = model
+    src = df.select(F.col(id_col), _tokens(text_col).alias("_t"))
+    t = F.col("_t")
+
+    bi_idx = F.when(F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    pairs = src.select(
+        id_col,
+        F.explode(F.transform(
+            bi_idx,
+            lambda i: F.struct(F.element_at(t, i).alias("w1"),
+                               F.element_at(t, i + 1).alias("w2"))))
+        .alias("p")).select(id_col, "p.w1", "p.w2")
+    pcnt = pairs.groupBy(id_col, "w1", "w2").agg(F.count("*").alias("c"))
+    uni2 = vocab.select(F.col("tok").alias("w2"),
+                        F.col("tok_cost").alias("w2_cost"))
+    pair_costs = (
+        pcnt.join(F.broadcast(bigram), ["w1", "w2"], "left")
+        .join(F.broadcast(uni2), "w2", "left")
+        .select(
+            id_col, "c",
+            F.coalesce(
+                F.col("bi_cost"),
+                F.lit(BACKOFF_X1E6)
+                + F.coalesce("w2_cost", F.lit(oov_cost))).alias("cost"))
+    )
+    first = (src.select(id_col, F.element_at(t, 1).alias("tok"),
+                        F.size(t).cast("bigint").alias("n_tokens"))
+             .join(F.broadcast(vocab), "tok", "left")
+             .select(id_col, "n_tokens",
+                     F.coalesce("tok_cost", F.lit(oov_cost))
+                     .alias("first_cost")))
+    agg = (pair_costs.groupBy(id_col)
+           .agg(F.sum(F.col("c") * F.col("cost")).alias("pair_sum")))
+    return (
+        first.join(agg, id_col, "left")
+        .select(
+            id_col, "n_tokens",
+            F.expr(
+                "(first_cost + coalesce(pair_sum, 0)) div n_tokens")
+            .cast("bigint").alias("ce_x1e6"))
+    )

@@ -218,3 +218,97 @@ def test_lm_unigram_prefitted_model_matches_refit(spark):
     other = spark.createDataFrame([(1, "zz yy xx")], "doc_id long, text string")
     s = lm_unigram_score(other, model=model).collect()[0]
     assert s["ce_x1e6"] == model[1]  # every token OOV -> exactly oov_cost
+
+
+# --- stupid-backoff bigram LM ----------------------------------------------
+
+
+def _py_bigram_lm(texts, vocab_size, bigram_size):
+    """Independent reference: fit + score stupid-backoff in pure python."""
+    import math
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        toks = t.split(" ")
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    total = sum(uni.values())
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))
+                 [:vocab_size])
+    costs = {w: -math.floor(1e6 * math.log(c / total))
+             for w, c in vocab.items()}
+    oov = -math.floor(1e6 * math.log(1 / total))
+    top_bi = dict(sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))
+                  [:bigram_size])
+    bi_costs = {p: -math.floor(1e6 * math.log(c / uni[p[0]]))
+                for p, c in top_bi.items()}
+    backoff = -math.floor(1e6 * math.log(0.4))
+    out = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        s = costs.get(toks[0], oov)
+        for a, b in zip(toks, toks[1:]):
+            s += bi_costs.get((a, b),
+                              backoff + costs.get(b, oov))
+        out[i] = (len(toks), s // len(toks))
+    return out
+
+
+_BI_CORPUS = [
+    "the cat sat on the mat",
+    "the cat sat on the hat",
+    "the dog ran to the cat",
+    "a dog and a cat and a rat",
+    "unseen tokens only here",
+    "w",
+]
+
+
+def _bi_docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_BI_CORPUS)],
+        "doc_id long, text string")
+
+
+def test_lm_bigram_matches_python_reference(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        fit_lm_bigram, lm_bigram_score)
+
+    d = _bi_docs(spark)
+    for vs, bs in ((1000, 1000), (5, 4)):
+        model = fit_lm_bigram(d, vocab_size=vs, bigram_size=bs)
+        got = {r["doc_id"]: (r["n_tokens"], r["ce_x1e6"])
+               for r in lm_bigram_score(d, model).collect()}
+        assert got == _py_bigram_lm(_BI_CORPUS, vs, bs)
+
+
+def test_lm_bigram_context_beats_unigram_on_predictable_text(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        fit_lm_bigram, lm_bigram_score, lm_unigram_score)
+
+    # highly predictable bigram structure: the bigram model should price
+    # the in-pattern doc lower relative to a shuffled-token doc, where the
+    # unigram model cannot tell them apart
+    texts = ["a b a b a b a b a b"] * 5 + ["b b a a b a a b b a"]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                              "doc_id long, text string")
+    model = fit_lm_bigram(d, vocab_size=10, bigram_size=10)
+    bi = {r["doc_id"]: r["ce_x1e6"]
+          for r in lm_bigram_score(d, model).collect()}
+    un = {r["doc_id"]: r["ce_x1e6"]
+          for r in lm_unigram_score(d, vocab_size=10).collect()}
+    assert un[0] == un[5]          # unigram is bag-of-words blind
+    assert bi[0] < bi[5]           # bigram sees the broken structure
+
+
+def test_lm_bigram_partition_invariant(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        fit_lm_bigram, lm_bigram_score)
+
+    d = _bi_docs(spark)
+    model = fit_lm_bigram(d, vocab_size=100, bigram_size=100)
+    a = sorted(map(tuple, lm_bigram_score(d, model).collect()))
+    b = sorted(map(tuple,
+                   lm_bigram_score(d.repartition(5), model).collect()))
+    assert a == b
