@@ -689,6 +689,24 @@ def q_pack_sequences(spark, sf):
         "seq_end_id", "n_seqs_spanned")
 
 
+def q_materialize_seqs(spark, sf):
+    """Packed-sequence materialization (sampling.materialize_sequences):
+    whitespace tokens laid out at seq_len=256 in doc_id order; each output
+    row is one training sequence, fingerprinted as md5 over the
+    space-joined tokens so the oracle compares content without array-type
+    hashing concerns. DuckDB rebuilds the layout from ONE global window
+    cumsum + per-token global positions."""
+    from .operators.sampling import materialize_sequences
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("tokens"),
+        F.floor(F.col("doc_id") / 64).alias("shard"))
+    seqs = materialize_sequences(d, 256, shard_col="shard")
+    return seqs.select(
+        "seq_id", "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("seq_md5"))
+
+
 def q_lm_bigram_score(spark, sf):
     """Stupid-backoff bigram LM score (textstats.fit_lm_bigram +
     lm_bigram_score): vocab 20 / top-64 bigrams refit on the table, first
@@ -1439,6 +1457,7 @@ QUERIES: dict[str, _T] = {
     "bloom_seen": q_bloom_seen,
     "leakage_split": q_leakage_split,
     "lm_bigram_score": q_lm_bigram_score,
+    "materialize_seqs": q_materialize_seqs,
     "redact_pii": q_redact_pii,
     "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
@@ -2346,6 +2365,28 @@ ORACLE_SQL["redact_pii"] = """
       cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
       cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
     from documents"""
+
+# the packed-sequence layout rebuilt from one global window cumsum +
+# per-token global positions; sequences fingerprinted by ordered md5
+ORACLE_SQL["materialize_seqs"] = """
+    with t as (
+      select doc_id, string_split(text, ' ') as l from documents
+    ), c as (
+      select doc_id, l,
+             cast(coalesce(sum(len(l)) over (
+               order by doc_id
+               rows between unbounded preceding and 1 preceding), 0)
+             as bigint) as cum
+      from t
+    ), tok as (
+      select c.cum + i - 1 as gpos, l[i] as tok
+      from c, unnest(range(1, len(l) + 1)) as p(i)
+    ), s as (
+      select gpos // 256 as seq_id, gpos % 256 as off, tok from tok
+    )
+    select seq_id, cast(count(*) as bigint) as n_tokens,
+           md5(string_agg(tok, ' ' order by off)) as seq_md5
+    from s group by seq_id"""
 
 # the stupid-backoff bigram model refit in SQL — vocab/bigram tables,
 # costs, backoff penalty and the first-token/pair split all re-derived;

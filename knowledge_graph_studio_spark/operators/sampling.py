@@ -408,3 +408,52 @@ def leakage_safe_split(
             else expr.when(cond, F.lit(k))
         lo = hi
     return d.withColumn("split", expr).drop("_split_key")
+
+
+def materialize_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    key_col: str = "doc_id",
+    shard_col: str | None = None,
+    max_shards: int = 100_000,
+) -> DataFrame:
+    """Emit the actual fixed-length training sequences: documents' token
+    arrays (from ``tokenize.bpe_segment`` or a plain split) are laid out in
+    ``pack_sequences`` order and re-grouped into rows of exactly
+    ``seq_len`` tokens (the final row holds the tail). Output:
+    ``(seq_id, n_tokens, tokens array<string>)``.
+
+    This is the one genuinely corpus-sized shuffle of the packing story —
+    re-laying tokens across document boundaries HAS to move every token
+    once, keyed by ``seq_id``. The key space is uniform by construction
+    (every sequence holds exactly ``seq_len`` tokens), so there is no skew;
+    everything upstream reuses the exact two-phase prefix sum, and the
+    layout is bit-reproducible at any cluster size. Reconstruction is
+    law-tested: concatenating the sequences in order equals concatenating
+    the documents in pack order.
+    """
+    d = df.withColumn("_n_tokens", F.size(F.col(tokens_col)).cast("bigint"))
+    packed = pack_sequences(d, seq_len, tokens_col="_n_tokens",
+                            key_col=key_col, shard_col=shard_col,
+                            max_shards=max_shards)
+    tok = packed.select(
+        F.col("cum_before"),
+        F.posexplode(F.col(tokens_col)).alias("_pos", "_tok"))
+    placed = tok.select(
+        # integer div, not float: double rounding could misplace a token
+        # at a sequence boundary once global positions pass 2^53
+        F.expr(f"(cum_before + _pos) div {seq_len}")
+        .cast("bigint").alias("seq_id"),
+        F.pmod(F.col("cum_before") + F.col("_pos"), F.lit(seq_len))
+        .cast("int").alias("_off"),
+        "_tok")
+    return (
+        placed.groupBy("seq_id")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("_off", "_tok"))),
+            lambda s: s["_tok"]).alias("tokens"))
+        .select("seq_id",
+                F.size("tokens").cast("bigint").alias("n_tokens"),
+                "tokens")
+    )

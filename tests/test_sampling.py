@@ -333,3 +333,60 @@ def test_leakage_safe_split_with_real_neardup_clusters(spark):
     for r in out.collect():
         by_fam.setdefault(r["doc_id"] // 10, set()).add(r["split"])
     assert all(len(s) == 1 for s in by_fam.values())
+
+
+# --- sequence materialization ----------------------------------------------
+
+from knowledge_graph_studio_spark.operators.sampling import (  # noqa: E402
+    materialize_sequences,
+)
+
+
+def _tok_arrays(spark, n=120):
+    # docs with variable-length token arrays incl. empty docs
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 11 == 0, F.array().cast("array<string>"))
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), (F.col("id") * 7 % 23) + 1),
+            lambda i: F.concat(F.lit("t"), F.col("id"), F.lit("_"), i)))
+        .alias("tokens"),
+        F.floor(F.col("id") / 30).alias("shard"),
+    )
+
+
+def test_materialize_sequences_reconstruction_law(spark):
+    d = _tok_arrays(spark, 120)
+    seqs = materialize_sequences(d, 32, shard_col="shard") \
+        .orderBy("seq_id").collect()
+    got = [t for r in seqs for t in r["tokens"]]
+    want = [t for r in d.orderBy("doc_id").collect() for t in r["tokens"]]
+    assert got == want  # concat of sequences == concat of docs in order
+    # every sequence is exactly seq_len except the tail
+    for r in seqs[:-1]:
+        assert r["n_tokens"] == 32
+    assert 0 < seqs[-1]["n_tokens"] <= 32
+    assert [r["seq_id"] for r in seqs] == list(range(len(seqs)))
+
+
+def test_materialize_sequences_deterministic_and_matches_packing(spark):
+    from knowledge_graph_studio_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    d = _tok_arrays(spark, 90)
+    a = {r["seq_id"]: tuple(r["tokens"])
+         for r in materialize_sequences(d, 16, shard_col="shard").collect()}
+    b = {r["seq_id"]: tuple(r["tokens"])
+         for r in materialize_sequences(
+             d.repartition(7), 16, shard_col="shard").collect()}
+    assert a == b
+    # doc spans from pack_sequences agree with where tokens actually landed
+    packed = pack_sequences(
+        d.withColumn("n_tokens", F.size("tokens")), 16,
+        shard_col="shard").collect()
+    for r in packed:
+        if r["n_tokens"] == 0:
+            continue
+        first_tok = r["tokens"][0]
+        assert a[r["seq_id"]][r["seq_offset"]] == first_tok
