@@ -108,3 +108,80 @@ def test_mention_rollup_stream_equals_batch(spark, pages_dir, tmp_path):
         for r in spark.sql("select * from rollup").collect()
     }
     assert got == expected
+
+
+# --- streaming incremental dedup (bloom) -----------------------------------
+
+
+def test_streaming_dedup_across_segments(spark, tmp_path):
+    from knowledge_graph_studio_spark.streaming.curation import (
+        run_streaming_dedup,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    # segment 0: 40 docs (ids 0..39; doc 7 repeated in-batch under a new id)
+    seg0 = [(i, f"content number {i} body") for i in range(40)]
+    seg0.append((900, "content number 7 body"))
+    spark.createDataFrame(seg0, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(docs_path)
+    # segment 1: 20 fresh docs + 10 replays of segment-0 content
+    seg1 = [(100 + i, f"fresh item {i} text") for i in range(20)]
+    seg1 += [(800 + i, f"content number {i} body") for i in range(10)]
+    spark.createDataFrame(seg1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(docs_path)
+
+    workdir = str(tmp_path / "work")
+    run_streaming_dedup(spark, docs_path, workdir, m_bits=1 << 16, k=5,
+                        max_files_per_trigger=1)
+
+    out = spark.read.parquet(f"{workdir}/docs")
+    texts = [r["text"] for r in out.collect()]
+    # every distinct content survives exactly once, across batch boundaries
+    assert len(texts) == len(set(texts)) == 60
+    recs = sorted(
+        (r for r in RunManifest(workdir, "stream_dedup0").records()
+         if r["stage"] == "stream_dedup"),
+        key=lambda r: r["partition_id"])
+    assert len(recs) == 2
+    assert sum(r["n_kept"] for r in recs) == 60
+    assert sum(r["n_batch_dup"] for r in recs) == 1   # the in-batch repeat
+    assert sum(r["n_seen"] for r in recs) == 10       # the cross-batch replays
+    # the index grew per batch and is bounded by k * accepted
+    pos = spark.read.parquet(f"{workdir}/bloom_positions")
+    assert 0 < pos.count() <= 5 * 60
+
+    # rerun is a no-op: checkpoint already drained both files
+    before = sorted(texts)
+    run_streaming_dedup(spark, docs_path, workdir, m_bits=1 << 16, k=5,
+                        max_files_per_trigger=1)
+    after = sorted(r["text"] for r in
+                   spark.read.parquet(f"{workdir}/docs").collect())
+    assert after == before
+
+
+def test_streaming_dedup_replayed_batch_ignores_own_positions(spark, tmp_path):
+    """A batch replayed after a crash between its positions write and the
+    checkpoint commit must not flag its own docs as seen (it would emit an
+    empty batch). Simulated by pre-writing the batch's own positions, then
+    running the stream fresh (no checkpoint -> batch 0 'replays')."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        bloom_index_positions,
+    )
+    from knowledge_graph_studio_spark.streaming.curation import (
+        run_streaming_dedup,
+    )
+
+    docs_path = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(i, f"replay doc {i} text") for i in range(20)],
+        "doc_id long, text string")
+    docs.coalesce(1).write.mode("overwrite").parquet(docs_path)
+
+    workdir = str(tmp_path / "work")
+    # crash artifact: batch 0's own positions already on disk
+    bloom_index_positions(docs, m_bits=1 << 16, k=5).write.mode(
+        "overwrite").parquet(f"{workdir}/bloom_positions/batch=0")
+
+    run_streaming_dedup(spark, docs_path, workdir, m_bits=1 << 16, k=5)
+    out = spark.read.parquet(f"{workdir}/docs")
+    assert out.count() == 20  # all docs kept despite the stale positions
