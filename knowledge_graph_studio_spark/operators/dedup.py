@@ -745,6 +745,7 @@ def seen_before(
     hash_fn: str = "xxhash64",
     via: str = "join",
     max_driver_positions: int = 50_000_000,
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """Flag documents whose content was (probably) already in the history
     corpus: ``seen = 1`` iff ALL k probe positions are set in the history
@@ -775,6 +776,11 @@ def seen_before(
         ex = probed.select(
             id_col, F.explode(F.array_distinct("_probes")).alias("pos"))
         hit = history_positions.select("pos").withColumn("_hit", F.lit(1))
+        if broadcast_index:
+            # caller-asserted small index (parquet-backed indexes carry
+            # stats and AQE converts on its own; in-memory/estimate-less
+            # sources need the hint)
+            hit = F.broadcast(hit)
         agg = (ex.join(hit, "pos", "left")
                .groupBy(id_col)
                .agg(F.count("*").cast("int").alias("n_probes"),

@@ -487,3 +487,21 @@ def test_seen_before_probe_collisions_counted_once(spark):
         assert 1 <= r["n_probes"] <= 6
         assert 0 <= r["n_hits"] <= r["n_probes"]
         assert r["seen"] == int(r["n_hits"] == r["n_probes"])
+
+
+def test_seen_before_join_path_broadcasts_small_index(spark):
+    from knowledge_graph_studio_spark.operators.dedup import (
+        bloom_index_positions, seen_before,
+    )
+
+    hist, new = _bloom_corpora(spark)
+    idx = bloom_index_positions(hist, m_bits=1 << 16, k=5)
+    plan = (seen_before(new, idx, m_bits=1 << 16, k=5, broadcast_index=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # hinted == unhinted answers (the knob only changes the physical plan)
+    a = sorted(map(tuple, seen_before(new, idx, m_bits=1 << 16, k=5,
+                                      broadcast_index=True).collect()))
+    b = sorted(map(tuple,
+                   seen_before(new, idx, m_bits=1 << 16, k=5).collect()))
+    assert a == b

@@ -390,3 +390,17 @@ def test_materialize_sequences_deterministic_and_matches_packing(spark):
             continue
         first_tok = r["tokens"][0]
         assert a[r["seq_id"]][r["seq_offset"]] == first_tok
+
+
+def test_pack_sequences_window_is_shard_partitioned(spark):
+    # the prefix-sum window must be PARTITIONED (per shard) — a global
+    # single-task window would serialize the corpus
+    d = _tok_corpus(spark, 200)
+    plan = (pack_sequences(d, 64, shard_col="shard")
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    wins = [l for l in plan.splitlines() if "Window" in l]
+    assert wins and all("_shard" in w for w in wins)
+    # shard totals + window repartition; broadcast prefix join adds no
+    # corpus-sized exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
