@@ -116,6 +116,14 @@ def main() -> None:
         blocked_domains=blocked, fuzzy_dedup=True,
         mix_rates={"en": 1.0, "de": 0.8, "fr": 0.6, "es": 0.5, "zh": 0.4},
         stratum_col="lang",
+        # r5: the funnel now ends in a training-ready corpus — DSIR
+        # selection against an English target, then packed 1024-token
+        # sequences (hash-shuffled layout)
+        dsir_target=docs.filter(F.col("lang") == "en")
+        .filter(F.col("doc_id") % 7 == 0).select("text"),
+        dsir_top_n=max(n_docs_in // 3, 10),
+        dsir_kwargs={"n_buckets": 4096},
+        pack_seq_len=1024,
         # synthetic-doc tuning: short word-salad docs, stopword-poor — the
         # paper's web thresholds would empty the funnel and measure nothing
         gopher_kwargs={"min_words": 10, "min_stop_hits": 1})
