@@ -689,6 +689,26 @@ def q_pack_sequences(spark, sf):
         "seq_end_id", "n_seqs_spanned")
 
 
+def q_exact_substr_dedup(spark, sf):
+    """ExactSubstr dedup (cleaning.exact_substring_dedup, Lee et al.
+    keep-first semantics): every fourth document gets a planted 10-token
+    shared passage appended, so its three fully-inside k=8 windows repeat
+    corpus-wide; the globally-first occurrence keeps them, every other
+    copy loses the merged span. Raw window keys (byte-identical in SQL)."""
+    from .operators.cleaning import exact_substring_dedup
+
+    d = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit(" "),
+                        F.lit(_PROMO))).otherwise(F.col("text"))
+        .alias("text"))
+    return exact_substring_dedup(d, k=8, hash_fn="raw")
+
+
+_PROMO = " ".join(f"promo{i}" for i in range(10))
+
+
 def q_materialize_seqs(spark, sf):
     """Packed-sequence materialization (sampling.materialize_sequences):
     whitespace tokens laid out at seq_len=256 in doc_id order; each output
@@ -1458,6 +1478,7 @@ QUERIES: dict[str, _T] = {
     "leakage_split": q_leakage_split,
     "lm_bigram_score": q_lm_bigram_score,
     "materialize_seqs": q_materialize_seqs,
+    "exact_substr_dedup": q_exact_substr_dedup,
     "redact_pii": q_redact_pii,
     "lm_unigram_score": q_lm_unigram_score,
     "lang_id": q_lang_id,
@@ -2365,6 +2386,71 @@ ORACLE_SQL["redact_pii"] = """
       cast(case when doc_id % 4 = 1 then 1 else 0 end as int) as n_phones,
       cast(case when doc_id % 4 = 2 then 1 else 0 end as int) as n_ips
     from documents"""
+
+# ExactSubstr re-derived in SQL: same planted passage, raw window keys,
+# row_number keep-first (equals Spark's min(struct) on (doc, pos)),
+# interval merge via the same gaps-and-islands arithmetic
+ORACLE_SQL["exact_substr_dedup"] = """
+    with t as (
+      select doc_id,
+             string_split(
+               case when doc_id % 4 = 0
+                    then text || ' ' ||
+                         'promo0 promo1 promo2 promo3 promo4 ' ||
+                         'promo5 promo6 promo7 promo8 promo9'
+                    else text end, ' ') as l
+      from documents
+    ), wins as (
+      select doc_id, i - 1 as pos,
+             array_to_string(l[i:i+7], chr(1)) as key
+      from t, unnest(range(1, len(l) - 6)) as r(i)
+    ), grp as (
+      select key, count(*) as n from wins group by key
+    ), firsts as (
+      select key, doc_id, pos,
+             row_number() over (partition by key
+                                order by doc_id, pos) as rn
+      from wins
+    ), rem as (
+      select f.doc_id, f.pos as s, f.pos + 7 as e
+      from firsts f join grp g using (key)
+      where g.n >= 2 and f.rn > 1
+    ), isl as (
+      select doc_id, s, e,
+        case when s > coalesce(max(e) over (
+               partition by doc_id order by s
+               rows between unbounded preceding and 1 preceding), -2) + 1
+             then 1 else 0 end as brk
+      from rem
+    ), isl2 as (
+      select doc_id, s, e,
+             sum(brk) over (partition by doc_id order by s
+                            rows between unbounded preceding
+                            and current row) as isl_id
+      from isl
+    ), merged as (
+      select doc_id, min(s) as s, max(e) as e
+      from isl2 group by doc_id, isl_id
+    ), cov as (
+      select doc_id, unnest(generate_series(s, e)) as pos from merged
+    ), units as (
+      select doc_id, i - 1 as pos, l[i] as unit
+      from t, unnest(range(1, len(l) + 1)) as r(i)
+    ), kept as (
+      select u.doc_id, u.pos, u.unit
+      from units u left join cov c
+        on u.doc_id = c.doc_id and u.pos = c.pos
+      where c.pos is null
+    ), agg as (
+      select doc_id, string_agg(unit, ' ' order by pos) as clean_text,
+             cast(count(*) as bigint) as n_kept
+      from kept group by doc_id
+    )
+    select t.doc_id,
+           coalesce(a.clean_text, '') as clean_text,
+           cast(coalesce(a.n_kept, 0) as bigint) as n_kept,
+           cast(len(t.l) - coalesce(a.n_kept, 0) as bigint) as n_dropped
+    from t left join agg a on t.doc_id = a.doc_id"""
 
 # the packed-sequence layout rebuilt from one global window cumsum +
 # per-token global positions; sequences fingerprinted by ordered md5

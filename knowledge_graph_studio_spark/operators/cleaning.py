@@ -508,3 +508,112 @@ def domain_cap(
         .filter(F.col("_rk") <= max_per_domain)
         .drop("_rk", "host", "registered_domain")
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): any ``k``-token window that occurs
+    more than once in the corpus keeps its FIRST occurrence (min (doc,
+    pos)) and is removed everywhere else, with overlapping removed windows
+    merged into spans first. Differs from C4 ``span_dedup`` in both axes:
+    token windows instead of line/sentence spans, and keep-one instead of
+    remove-all.
+
+    Returns (id_col, clean_text, n_kept, n_dropped), token order preserved.
+
+    Plan: token posexplode -> window keys built per doc from the token
+    array (slice + join, O(n*k) char copies per doc; the published
+    suffix-array approach is O(n) but single-node, and a segmented rolling
+    prefix-hash is the drop-in refinement if the window stage ever
+    dominates — a plain modular polynomial can't ride Column arithmetic
+    under ANSI overflow checking) -> global key counts +
+    first-occurrence min(struct(doc, pos)) (one map-side-combined agg) ->
+    non-first occurrences of duplicated keys become removal intervals ->
+    per-doc interval merge (two windows over the INTERVALS table, which is
+    proportional to the duplicated subset, not the corpus) -> covered
+    positions explode (post-merge, so the blowup is the removed token
+    count, not k x windows) -> anti join -> ordered reassembly.
+
+    ``hash_fn="raw"`` keys windows by their joined text — byte-identical
+    in SQL, the contract-oracle family (span_dedup's hash_spans=False
+    precedent); "xxhash64" hashes that text to 8-byte keys, so the
+    corpus-sized count/first-occurrence shuffle carries longs instead of
+    k-token strings."""
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    src = docs.select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    idx = F.when(F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    if hash_fn == "xxhash64":
+        key_of = lambda i: F.xxhash64(  # noqa: E731
+            F.concat_ws("\x01", F.slice(t, i, k)))
+    elif hash_fn == "raw":
+        key_of = lambda i: F.concat_ws(  # noqa: E731
+            "\x01", F.slice(t, i, k))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+    wins = src.select(
+        id_col,
+        F.explode(F.transform(
+            idx, lambda i: F.struct((i - 1).alias("pos"),
+                                    key_of(i).alias("key"))))
+        .alias("w")).select(id_col, "w.pos", "w.key")
+
+    grp = wins.groupBy("key").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"))
+    removals = (
+        wins.join(grp.filter(F.col("_n") >= 2), "key")
+        .filter(~((F.col(id_col) == F.col("_first")[id_col])
+                  & (F.col("pos") == F.col("_first")["pos"])))
+        .select(id_col, F.col("pos").alias("_start"),
+                (F.col("pos") + F.lit(k - 1)).alias("_end"))
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("_start") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.partitionBy(id_col).orderBy("_start") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    islands = (
+        removals
+        .withColumn("_prev_end", F.max("_end").over(w_ord))
+        .withColumn("_brk",
+                    F.when(F.col("_prev_end").isNull()
+                           | (F.col("_start") > F.col("_prev_end") + 1), 1)
+                    .otherwise(0))
+        .withColumn("_isl", F.sum("_brk").over(w_cum))
+        .groupBy(id_col, "_isl")
+        .agg(F.min("_start").alias("_start"), F.max("_end").alias("_end"))
+    )
+    covered = islands.select(
+        id_col,
+        F.explode(F.sequence("_start", "_end")).alias("pos"))
+
+    units = docs.select(F.col(id_col),
+                        F.posexplode(toks).alias("pos", "unit"))
+    kept = units.join(covered, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"])).alias("clean_text"),
+        F.count("*").alias("n_kept"))
+    totals = docs.select(F.col(id_col), F.size(toks).alias("_n"))
+    return (
+        totals.join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n") - F.coalesce("n_kept", F.lit(0)))
+            .alias("n_dropped"))
+    )

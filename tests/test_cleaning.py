@@ -310,3 +310,76 @@ def test_domain_stats_and_cap(spark):
     got = sorted(r["doc_id"] for r in capped.collect())
     assert got == [0, 1, 2, 3]  # lowest two ids per domain
     assert capped.columns == docs.columns  # helper cols dropped
+
+
+# --- ExactSubstr dedup (Lee et al. 2022) -----------------------------------
+
+
+def _py_exact_substr(docs, k):
+    occ = {}
+    for d, t in docs.items():
+        toks = t.split(" ")
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(tuple(toks[p:p + k]), []).append((d, p))
+    cov = {d: set() for d in docs}
+    for lst in occ.values():
+        if len(lst) < 2:
+            continue
+        first = min(lst)
+        for d, p in lst:
+            if (d, p) != first:
+                cov[d].update(range(p, p + k))
+    out = {}
+    for d, t in docs.items():
+        toks = t.split(" ")
+        keep = [tok for i, tok in enumerate(toks) if i not in cov[d]]
+        out[d] = (" ".join(keep), len(keep), len(toks) - len(keep))
+    return out
+
+
+def _substr_corpus():
+    passage = " ".join(f"shared{i}" for i in range(12))
+    docs = {
+        0: "intro words here " + passage + " tail zero",
+        1: "other beginning " + passage + " different end one",
+        2: " ".join(f"u2w{i}" for i in range(20)),          # unique
+        3: "short doc",                                      # < k tokens
+        # self-repeat: the same 8-token run twice within one doc
+        4: ("rep0 rep1 rep2 rep3 rep4 rep5 rep6 rep7 middle "
+            "rep0 rep1 rep2 rep3 rep4 rep5 rep6 rep7 done"),
+    }
+    return docs
+
+
+def test_exact_substring_dedup_matches_reference(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import (
+        exact_substring_dedup,
+    )
+
+    docs = _substr_corpus()
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    want = _py_exact_substr(docs, 8)
+    for fam in ("raw", "xxhash64"):
+        got = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+               for r in exact_substring_dedup(df, k=8,
+                                              hash_fn=fam).collect()}
+        assert got == want, fam
+    # semantic spot-checks: first occurrence survives, later ones removed
+    assert "shared0" in want[0][0] and "shared0" not in want[1][0]
+    assert want[4][0].count("rep0") == 1      # in-doc self-repeat collapsed
+    assert want[2][1] == 20 and want[3][2] == 0   # unique/short untouched
+
+
+def test_exact_substring_dedup_deterministic_under_repartition(spark):
+    from knowledge_graph_studio_spark.operators.cleaning import (
+        exact_substring_dedup,
+    )
+
+    docs = _substr_corpus()
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    a = sorted(map(tuple, exact_substring_dedup(df, k=8).collect()))
+    b = sorted(map(tuple, exact_substring_dedup(
+        df.repartition(7), k=8).collect()))
+    assert a == b
