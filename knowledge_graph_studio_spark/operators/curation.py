@@ -9,6 +9,8 @@ PII redaction -> mixture):
      NEWEST capture when ts_col names a warc_ts-style snapshot column)
   2. strip_boilerplate (line-frequency cleaning)
   3. span_dedup (C4 repeated-span removal)
+  3b. exact_substring_dedup (ExactSubstr keep-first k-token windows)
+                                           — when substr_dedup_k is given
   4. gopher_filter (quality rules)         — drop failing docs
   5. gopher_repetition (repetition rules)  — drop failing docs
   6. exact dedup (md5 groups, keep min id)
@@ -73,6 +75,7 @@ def curate_corpus(
     ts_col: str | None = None,
     gopher_kwargs: dict | None = None,
     repetition_kwargs: dict | None = None,
+    substr_dedup_k: int | None = None,
     dsir_target: DataFrame | None = None,
     dsir_top_n: int | None = None,
     dsir_kwargs: dict | None = None,
@@ -140,6 +143,15 @@ def curate_corpus(
     cur = _seal(_rewrite(span_dedup(cur, id_col=id_col,
                                     text_col=text_col), cur))
     stages["span_dedup"] = cur
+
+    if substr_dedup_k is not None:
+        # ExactSubstr (Lee et al.): keep-first repeated k-token substring
+        # removal — runs after the line/span cleaners so window keys see
+        # boilerplate-free text
+        from .cleaning import exact_substring_dedup
+        cur = _seal(_rewrite(exact_substring_dedup(
+            cur, k=substr_dedup_k, id_col=id_col, text_col=text_col), cur))
+        stages["substr_dedup"] = cur
 
     if gopher:
         # thresholds are corpus-tunable in every public pipeline; the

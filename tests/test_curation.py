@@ -233,3 +233,17 @@ def test_curate_corpus_bigram_lm_stage(spark):
     kept = out["stages"]["lm_filtered"].count()
     before = out["stages"]["exact_dedup"].count()
     assert 0 < kept < before  # docs above the tail cutoff were dropped
+
+
+def test_curate_corpus_substr_dedup_stage(spark):
+    """substr_dedup_k wires ExactSubstr into the funnel: a passage shared
+    across docs survives only in its first occurrence."""
+    d = _corpus(spark)
+    out = curate_corpus(d, url_col="url", boilerplate_max_df_frac=0.2,
+                        substr_dedup_k=10)
+    assert "substr_dedup" in out["stages"]
+    texts = {r["doc_id"]: r["text"] for r in out["docs"].collect()}
+    # the GOOD prefix repeats across docs 0..7; exactly one copy survives
+    marker = "w0x w1x w2x"
+    holders = [i for i, t in texts.items() if marker in t]
+    assert len(holders) == 1
