@@ -81,6 +81,7 @@ def curate_corpus(
     dsir_kwargs: dict | None = None,
     pack_seq_len: int | None = None,
     pack_shards: int = 128,
+    seal_every: int = 1,
 ) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns ``{"docs": final_df,
     "stages": {name: df}}`` with every intermediate stage inspectable.
@@ -91,18 +92,28 @@ def curate_corpus(
     stages: dict[str, DataFrame] = {"input": docs}
     cur = docs
 
+    _since_seal = [0]
+
     def _seal(df: DataFrame) -> DataFrame:
-        # Truncate lineage at each stage boundary: every stage embeds its
+        # Truncate lineage at stage boundaries: every stage embeds its
         # input's plan at least twice (clean side + passthrough side of the
         # id-join), so composing ~10 lazy stages would grow ONE flat DAG
         # exponentially (measured: 168 s for the sf0.1 funnel vs ~20 s
-        # sealed). Non-eager localCheckpoint materializes each stage once
-        # at the first downstream action — the in-process analog of the
-        # per-stage-group materialization a 100 TB run does anyway (module
-        # docstring); it also makes the funnel report linear, since each
-        # stage count reuses the sealed blocks instead of recomputing the
-        # whole prefix.
-        return df.localCheckpoint(eager=False)
+        # sealed). Non-eager localCheckpoint materializes each boundary
+        # once at the first downstream action — the in-process analog of
+        # the per-stage-group materialization a 100 TB run does anyway
+        # (module docstring); it also makes the funnel report linear,
+        # since stage counts reuse the sealed blocks instead of
+        # recomputing the whole prefix. ``seal_every`` skips boundaries:
+        # letting n stages ride unsealed bounds plan growth at 2^n per
+        # sealed group (geometric, fine for n<=2) while dropping that many
+        # per-boundary materialization jobs from the fixed Amdahl tail the
+        # scaling probe measures (CURATION_SCALING.json).
+        _since_seal[0] += 1
+        if _since_seal[0] >= seal_every:
+            _since_seal[0] = 0
+            return df.localCheckpoint(eager=False)
+        return df
 
     if url_col is not None:
         if blocked_domains is not None:

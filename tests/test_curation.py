@@ -247,3 +247,15 @@ def test_curate_corpus_substr_dedup_stage(spark):
     marker = "w0x w1x w2x"
     holders = [i for i, t in texts.items() if marker in t]
     assert len(holders) == 1
+
+
+def test_curate_corpus_seal_every_equivalence(spark):
+    """seal_every only changes WHERE lineage is truncated, never the
+    output: a sparser sealing policy must produce identical docs."""
+    d = _corpus(spark)
+    a = sorted(map(tuple, curate_corpus(
+        d, url_col="url", boilerplate_max_df_frac=0.2)["docs"].collect()))
+    b = sorted(map(tuple, curate_corpus(
+        d, url_col="url", boilerplate_max_df_frac=0.2,
+        seal_every=3)["docs"].collect()))
+    assert a == b
