@@ -182,3 +182,95 @@ def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def phash_signatures(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual aHash per image: decode -> grayscale -> ``grid x grid``
+    block means -> 1 bit per cell (above/below the image mean) -> a 64-bit
+    signature (media_id, phash long). Near-identical images (recompression,
+    small edits, resizes) land within a few bits of each other; Arrow
+    -batched like every media op, signatures are 8 bytes — the image
+    analog of the text SimHash family and the input to
+    :func:`phash_neardup_pairs`."""
+    assert grid * grid <= 64, "signature must fit a 64-bit long"
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, payload, meta in zip(
+                    pdf["media_id"], pdf["payload"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                arr = _DECODER(payload, meta)
+                w = int(meta.get("width") or 0)
+                h = int(meta.get("height") or 0)
+                sig = None
+                if w > 0 and h > 0 and arr.size >= w * h:
+                    c = arr.size // (w * h)
+                    gray = arr[: w * h * c].reshape(h, w, c).mean(axis=2)
+                    cells = np.empty((grid, grid))
+                    for i in range(grid):
+                        r0, r1 = (i * h) // grid, max(((i + 1) * h) // grid,
+                                                      (i * h) // grid + 1)
+                        for j in range(grid):
+                            c0 = (j * w) // grid
+                            c1 = max(((j + 1) * w) // grid, c0 + 1)
+                            cells[i, j] = gray[r0:r1, c0:c1].mean()
+                    bits = (cells > cells.mean()).flatten()
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    sig = int(np.uint64(val).astype(np.int64))
+                ids.append(mid)
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": ids, "phash": sigs})
+
+    return (filter_by_meta(media, media_type="image")
+            .select("media_id", "payload", "meta")
+            .mapInPandas(run, schema=out_schema))
+
+
+def phash_neardup_pairs(
+    media: DataFrame, max_hamming: int = 3,
+    band_bits: int = 16, max_bucket: int = 1000, grid: int = 8,
+) -> DataFrame:
+    """(ma, mb, hamming) image pairs within ``max_hamming`` signature bits
+    — banded blocking + exact verification, the same pigeonhole
+    construction as ``dedup.simhash_neardup_pairs``: 64/band_bits bands
+    guarantee EXACT recall for hamming <= n_bands - 1 (default 4x16 ->
+    max_hamming <= 3). Only 8-byte signatures shuffle; buckets above
+    ``max_bucket`` (flat-color boilerplate images) are dropped, the hot
+    -bucket guard of the text families."""
+    n_bands = 64 // band_bits
+    assert max_hamming <= n_bands - 1, \
+        "banding only guarantees recall for hamming <= n_bands - 1"
+    sigs = phash_signatures(media, grid=grid).filter(
+        F.col("phash").isNotNull())
+    banded = sigs.select(
+        "media_id", "phash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("phash"), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_key"))
+            for b in range(n_bands)])).alias("b")
+    ).select("media_id", "phash", "b.band_id", "b.band_key")
+    sized = (banded.groupBy("band_id", "band_key")
+             .agg(F.count("*").alias("_n"))
+             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+             .select("band_id", "band_key"))
+    m = banded.join(sized, ["band_id", "band_key"])
+    x = m.select("band_id", "band_key", F.col("media_id").alias("ma"),
+                 F.col("phash").alias("_sa"))
+    y = m.select("band_id", "band_key", F.col("media_id").alias("mb"),
+                 F.col("phash").alias("_sb"))
+    return (x.join(y, ["band_id", "band_key"])
+            .filter(F.col("ma") < F.col("mb"))
+            .select("ma", "mb",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -128,3 +128,94 @@ def test_extract_features_real_codec_end_to_end(spark):
     pads = (-len(arr)) % 8
     exp = np.pad(arr, (0, pads)).reshape(8, -1).mean(axis=1)
     assert np.allclose(feats, exp, atol=1e-6)
+
+
+# --- perceptual-hash image near-dup ----------------------------------------
+
+
+def _img_row(mid, px, w, h):
+    payload = _ppm(w, h, px)
+    return (mid, "u", payload,
+            {"media_type": "image", "codec": "ppm", "width": w, "height": h,
+             "duration_ms": None, "n_bytes": len(payload)})
+
+
+def _checker(w, h, phase=0, blotch=None):
+    px = [[((255, 255, 255) if (r + c + phase) % 2 else (0, 0, 0))
+           for c in range(w)] for r in range(h)]
+    if blotch:
+        r, c = blotch
+        px[r][c] = (128, 128, 128)
+    return px
+
+
+def _py_ahash(px, w, h, grid=8):
+    gray = np.array([[sum(px[r][c]) / 3 / 255 for c in range(w)]
+                     for r in range(h)])
+    cells = np.empty((grid, grid))
+    for i in range(grid):
+        r0, r1 = (i * h) // grid, max(((i + 1) * h) // grid,
+                                      (i * h) // grid + 1)
+        for j in range(grid):
+            c0 = (j * w) // grid
+            c1 = max(((j + 1) * w) // grid, c0 + 1)
+            cells[i, j] = gray[r0:r1, c0:c1].mean()
+    val = 0
+    for b in (cells > cells.mean()).flatten():
+        val = (val << 1) | int(b)
+    return int(np.uint64(val).astype(np.int64))
+
+
+def test_phash_signature_matches_reference_and_is_robust(spark):
+    from knowledge_graph_studio_spark.operators.multimodal import (
+        MEDIA_SCHEMA, phash_signatures,
+    )
+
+    w = h = 16
+    rng = np.random.RandomState(3)
+    base = [[tuple(rng.randint(0, 256, 3)) for _ in range(w)]
+            for _ in range(h)]
+    tweaked = [row[:] for row in base]
+    tweaked[0][0] = (0, 0, 0)  # one-pixel edit
+    rows = [_img_row("a", base, w, h), _img_row("a2", tweaked, w, h),
+            _img_row("b", _checker(w, h), w, h)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = {r["media_id"]: r["phash"]
+            for r in phash_signatures(media).collect()}
+    assert sigs["a"] == _py_ahash(base, w, h)
+    ham_edit = bin(sigs["a"] ^ sigs["a2"]).count("1")
+    ham_diff = bin(sigs["a"] ^ sigs["b"]).count("1")
+    assert ham_edit <= 2 < ham_diff  # edit-robust, discriminative
+
+
+def test_phash_neardup_pairs_banding_equals_bruteforce(spark):
+    from knowledge_graph_studio_spark.operators.multimodal import (
+        MEDIA_SCHEMA, phash_neardup_pairs, phash_signatures,
+    )
+
+    w = h = 16
+    rng = np.random.RandomState(11)
+    rows = []
+    for fam in range(6):
+        base = [[tuple(rng.randint(0, 256, 3)) for _ in range(w)]
+                for _ in range(h)]
+        rows.append(_img_row(f"f{fam}_0", base, w, h))
+        near = [r[:] for r in base]
+        near[fam][fam] = (255, 255, 255)
+        rows.append(_img_row(f"f{fam}_1", near, w, h))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r["ma"], r["mb"], r["hamming"])
+           for r in phash_neardup_pairs(media, max_hamming=3).collect()}
+    sigs = {r["media_id"]: r["phash"]
+            for r in phash_signatures(media).collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            hm = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+            if hm <= 3:
+                want.add((a, b, hm))
+    assert got == want  # pigeonhole: banding is EXACT for hamming <= 3
+    # every planted near-pair is found
+    assert all(any(p[0] == f"f{i}_0" and p[1] == f"f{i}_1" for p in got)
+               for i in range(6))
