@@ -824,3 +824,50 @@ def seen_before(
         return probed.mapInPandas(_check, out_schema)
 
     raise ValueError(f"unknown via: {via}")
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    bits: int = 64,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Generic banded-hamming pairing over fixed-width integer signatures:
+    (a, b, hamming) pairs within ``max_hamming`` bits, EXACT for
+    ``max_hamming <= bits/band_bits - 1`` by pigeonhole (two signatures
+    that close leave at least one band untouched and collide there).
+    The blocking/verify engine shared by the text SimHash and the
+    image/audio perceptual-hash families — only (id, 8-byte signature)
+    tuples ever shuffle, and buckets above ``max_bucket`` are dropped
+    (the hot-bucket guard)."""
+    n_bands = bits // band_bits
+    assert max_hamming <= n_bands - 1, \
+        "banding only guarantees recall for hamming <= n_bands - 1"
+    banded = sigs.select(
+        F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col(sig_col), b * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_key"))
+            for b in range(n_bands)])).alias("b")
+    ).select("_id", "_sig", "b.band_id", "b.band_key")
+    sized = (banded.groupBy("band_id", "band_key")
+             .agg(F.count("*").alias("_n"))
+             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+             .select("band_id", "band_key"))
+    m = banded.join(sized, ["band_id", "band_key"])
+    x = m.select("band_id", "band_key", F.col("_id").alias("a"),
+                 F.col("_sig").alias("_sa"))
+    y = m.select("band_id", "band_key", F.col("_id").alias("b"),
+                 F.col("_sig").alias("_sb"))
+    return (x.join(y, ["band_id", "band_key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())

@@ -244,33 +244,75 @@ def phash_neardup_pairs(
     max_hamming <= 3). Only 8-byte signatures shuffle; buckets above
     ``max_bucket`` (flat-color boilerplate images) are dropped, the hot
     -bucket guard of the text families."""
-    n_bands = 64 // band_bits
-    assert max_hamming <= n_bands - 1, \
-        "banding only guarantees recall for hamming <= n_bands - 1"
+    from .dedup import banded_hamming_pairs
+
     sigs = phash_signatures(media, grid=grid).filter(
         F.col("phash").isNotNull())
-    banded = sigs.select(
-        "media_id", "phash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftrightunsigned(F.col("phash"), b * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("band_key"))
-            for b in range(n_bands)])).alias("b")
-    ).select("media_id", "phash", "b.band_id", "b.band_key")
-    sized = (banded.groupBy("band_id", "band_key")
-             .agg(F.count("*").alias("_n"))
-             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
-             .select("band_id", "band_key"))
-    m = banded.join(sized, ["band_id", "band_key"])
-    x = m.select("band_id", "band_key", F.col("media_id").alias("ma"),
-                 F.col("phash").alias("_sa"))
-    y = m.select("band_id", "band_key", F.col("media_id").alias("mb"),
-                 F.col("phash").alias("_sb"))
-    return (x.join(y, ["band_id", "band_key"])
-            .filter(F.col("ma") < F.col("mb"))
-            .select("ma", "mb",
-                    F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-                    .alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct())
+    return banded_hamming_pairs(
+        sigs, id_col="media_id", sig_col="phash",
+        max_hamming=max_hamming, band_bits=band_bits,
+        max_bucket=max_bucket) \
+        .withColumnsRenamed({"a": "ma", "b": "mb"})
+
+
+def audio_fingerprints(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Spectral audio fingerprint per clip: decode -> ``grid`` time blocks
+    x ``grid`` FFT magnitude bands -> energy matrix -> 1 bit per cell
+    (above/below the clip mean) -> 64-bit signature (media_id, afp long).
+    Amplitude-scale invariant (the threshold is the clip's own mean) and
+    robust to small edits — the audio member of the perceptual-hash family
+    (Haitsma-Kalker-style band energies, aHash thresholding)."""
+    assert grid * grid <= 64, "signature must fit a 64-bit long"
+    out_schema = T.StructType([
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("afp", T.LongType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, payload, meta in zip(
+                    pdf["media_id"], pdf["payload"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                arr = _DECODER(payload, meta)
+                sig = None
+                if arr.size >= 2 * grid * grid:
+                    n = (arr.size // grid) * grid
+                    blocks = arr[:n].reshape(grid, -1)
+                    mag = np.abs(np.fft.rfft(blocks, axis=1))[:, 1:]
+                    e = np.empty((grid, grid))
+                    w = mag.shape[1]
+                    for j in range(grid):
+                        c0 = (j * w) // grid
+                        c1 = max(((j + 1) * w) // grid, c0 + 1)
+                        e[:, j] = (mag[:, c0:c1] ** 2).mean(axis=1)
+                    bits = (e > e.mean()).flatten()
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    sig = int(np.uint64(val).astype(np.int64))
+                ids.append(mid)
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": ids, "afp": sigs})
+
+    return (filter_by_meta(media, media_type="audio")
+            .select("media_id", "payload", "meta")
+            .mapInPandas(run, schema=out_schema))
+
+
+def audio_neardup_pairs(
+    media: DataFrame, max_hamming: int = 3,
+    band_bits: int = 16, max_bucket: int = 1000, grid: int = 8,
+) -> DataFrame:
+    """(ma, mb, hamming) audio pairs within ``max_hamming`` fingerprint
+    bits — same exact-by-pigeonhole banding engine as the image and text
+    families (dedup.banded_hamming_pairs)."""
+    from .dedup import banded_hamming_pairs
+
+    sigs = audio_fingerprints(media, grid=grid).filter(
+        F.col("afp").isNotNull())
+    return banded_hamming_pairs(
+        sigs, id_col="media_id", sig_col="afp",
+        max_hamming=max_hamming, band_bits=band_bits,
+        max_bucket=max_bucket) \
+        .withColumnsRenamed({"a": "ma", "b": "mb"})

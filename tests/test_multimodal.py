@@ -219,3 +219,38 @@ def test_phash_neardup_pairs_banding_equals_bruteforce(spark):
     # every planted near-pair is found
     assert all(any(p[0] == f"f{i}_0" and p[1] == f"f{i}_1" for p in got)
                for i in range(6))
+
+
+def test_audio_fingerprint_neardup(spark):
+    from knowledge_graph_studio_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_fingerprints, audio_neardup_pairs,
+    )
+
+    def _wav_row(mid, samples):
+        payload = _wav16([int(s * 32767) for s in np.clip(samples, -1, 1)])
+        return (mid, "u", payload,
+                {"media_type": "audio", "codec": "wav", "width": None,
+                 "height": None, "duration_ms": len(samples),
+                 "n_bytes": len(payload)})
+
+    n = 2048
+    t = np.arange(n)
+    tone = (0.5 * np.sin(2 * np.pi * 5 * t / n)
+            + 0.3 * np.sin(2 * np.pi * 50 * t / n))
+    # near-dup: same content, half the amplitude + tiny noise
+    rng = np.random.RandomState(5)
+    scaled = 0.5 * tone + 0.001 * rng.randn(n)
+    other = 0.5 * np.sin(2 * np.pi * 200 * t / n) \
+        + 0.4 * np.sin(2 * np.pi * 17 * t / n)
+    media = spark.createDataFrame(
+        [_wav_row("x", tone), _wav_row("x2", scaled), _wav_row("y", other)],
+        MEDIA_SCHEMA)
+    sigs = {r["media_id"]: r["afp"]
+            for r in audio_fingerprints(media).collect()}
+    assert len(sigs) == 3 and all(v is not None for v in sigs.values())
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+    assert ham("x", "x2") <= 3 < ham("x", "y")  # scale-invariant, selective
+    pairs = {(r["ma"], r["mb"]) for r in
+             audio_neardup_pairs(media, max_hamming=3).collect()}
+    assert ("x", "x2") in pairs
+    assert not any("y" in p for p in pairs)
