@@ -82,6 +82,9 @@ def curate_corpus(
     pack_seq_len: int | None = None,
     pack_shards: int = 128,
     seal_every: int = 1,
+    clean_text_stages: bool = True,
+    exact_dedup: bool = True,
+    pii: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the full curation pipeline; returns ``{"docs": final_df,
     "stages": {name: df}}`` with every intermediate stage inspectable.
@@ -147,13 +150,18 @@ def curate_corpus(
                                    F.col("clean_text").alias(text_col)),
                       id_col))
 
-    cur = _seal(_rewrite(strip_boilerplate(
-        cur, id_col=id_col, text_col=text_col,
-        max_df_frac=boilerplate_max_df_frac), cur))
-    stages["boilerplate"] = cur
-    cur = _seal(_rewrite(span_dedup(cur, id_col=id_col,
-                                    text_col=text_col), cur))
-    stages["span_dedup"] = cur
+    if clean_text_stages:
+        # rewriting cleaners are NOT idempotent on their own output (line
+        # frequencies shift after a strip), so a staged runner that
+        # materialized the cleaned text must disable them on resume
+        # (run_curation_job does exactly that)
+        cur = _seal(_rewrite(strip_boilerplate(
+            cur, id_col=id_col, text_col=text_col,
+            max_df_frac=boilerplate_max_df_frac), cur))
+        stages["boilerplate"] = cur
+        cur = _seal(_rewrite(span_dedup(cur, id_col=id_col,
+                                        text_col=text_col), cur))
+        stages["span_dedup"] = cur
 
     if substr_dedup_k is not None:
         # ExactSubstr (Lee et al.): keep-first repeated k-token substring
@@ -178,10 +186,11 @@ def curate_corpus(
                              id_col, "left_semi"))
         stages["gopher_repetition"] = cur
 
-    keepers = (cur.groupBy(F.md5(text_col).alias("_h"))
-               .agg(F.min(id_col).alias(id_col)).select(id_col))
-    cur = _seal(cur.join(keepers, id_col, "left_semi"))
-    stages["exact_dedup"] = cur
+    if exact_dedup:
+        keepers = (cur.groupBy(F.md5(text_col).alias("_h"))
+                   .agg(F.min(id_col).alias(id_col)).select(id_col))
+        cur = _seal(cur.join(keepers, id_col, "left_semi"))
+        stages["exact_dedup"] = cur
 
     if fuzzy_dedup:
         from .dedup import neardup_dedup
@@ -222,11 +231,13 @@ def curate_corpus(
                                   mode="drop"))
         stages["decontaminated"] = cur
 
-    red = redact_pii(cur, text_col=text_col, id_cols=(id_col,))
-    cur = _seal(cur.drop(text_col)
-                .join(red.select(id_col, F.col("redacted").alias(text_col)),
-                      id_col))
-    stages["pii_redacted"] = cur
+    if pii:
+        red = redact_pii(cur, text_col=text_col, id_cols=(id_col,))
+        cur = _seal(cur.drop(text_col)
+                    .join(red.select(id_col,
+                                     F.col("redacted").alias(text_col)),
+                          id_col))
+        stages["pii_redacted"] = cur
 
     if dsir_target is not None and dsir_top_n is not None:
         # DSIR data selection (Xie et al. 2023): fit hashed-ngram
@@ -277,3 +288,74 @@ def curation_funnel(stages: dict[str, DataFrame]) -> list[tuple[str, int]]:
     curation run logs. One count job per stage (driver actions by design:
     this is the report, not the pipeline)."""
     return [(name, df.count()) for name, df in stages.items()]
+
+
+def run_curation_job(
+    spark,
+    docs: DataFrame,
+    workdir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fail_after_group: int | None = None,
+    **kwargs,
+) -> dict:
+    """Resumable curation: the module docstring's "one job per stage group
+    with materialization between groups" made real. Three groups, each
+    written to parquet and committed to the RunManifest; a killed job
+    restarts from the last committed group, reading its table instead of
+    recomputing (the same contract as pipeline.build_graph_resumable):
+
+      group 0  "cleaned"   domain blocklist, url dedup, boilerplate,
+                           span dedup, ExactSubstr
+      group 1  "filtered"  Gopher quality+repetition, exact+fuzzy dedup,
+                           LM bucketing, decontamination, PII redaction
+      group 2  "selected"  DSIR selection, mixture, sequence packing
+
+    ``kwargs`` is the ``curate_corpus`` surface; each group receives only
+    its own stages' parameters, with the text-rewriting cleaners disabled
+    after group 0 (they are not idempotent on their own output — see
+    ``clean_text_stages``). Staged output equals the single-shot
+    ``curate_corpus`` output exactly (law-tested): every stage is
+    deterministic, so materialization points cannot change the result.
+    ``fail_after_group`` injects a crash for kill/restart tests."""
+    import time as _time
+
+    from ..io.catalog import RunManifest
+
+    manifest = RunManifest(workdir, run_id="curate0")
+    done = manifest.committed("curation_group")
+    g = lambda *names: {k: kwargs[k] for k in names if k in kwargs}  # noqa: E731
+
+    group_kwargs = [
+        dict(gopher=False, exact_dedup=False, pii=False,
+             **g("url_col", "blocked_domains", "ts_col",
+                 "boilerplate_max_df_frac", "substr_dedup_k",
+                 "seal_every")),
+        dict(clean_text_stages=False,
+             **g("gopher", "gopher_kwargs", "repetition_kwargs",
+                 "fuzzy_dedup", "fuzzy_kwargs", "lm_model",
+                 "lm_thresholds", "lm_drop_bucket", "eval_df",
+                 "decontaminate_n", "seal_every")),
+        dict(clean_text_stages=False, gopher=False, exact_dedup=False,
+             pii=False,
+             **g("dsir_target", "dsir_top_n", "dsir_kwargs", "mix_rates",
+                 "stratum_col", "pack_seq_len", "pack_shards",
+                 "seal_every")),
+    ]
+    cur, counts = docs, {}
+    for gid, gkw in enumerate(group_kwargs):
+        path = f"{workdir}/group={gid}"
+        if gid in done:
+            cur = spark.read.parquet(path)
+            counts[gid] = cur.count()
+            continue
+        t0 = _time.time()
+        cur = curate_corpus(cur, id_col=id_col, text_col=text_col,
+                            **gkw)["docs"]
+        cur.write.mode("overwrite").parquet(path)
+        cur = spark.read.parquet(path)
+        counts[gid] = cur.count()
+        manifest.commit("curation_group", gid, t0, rows=counts[gid])
+        if fail_after_group is not None and gid >= fail_after_group:
+            raise RuntimeError(f"injected failure after group {gid}")
+    return {"docs": cur, "group_rows": counts, "workdir": workdir}

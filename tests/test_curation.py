@@ -259,3 +259,41 @@ def test_curate_corpus_seal_every_equivalence(spark):
         d, url_col="url", boilerplate_max_df_frac=0.2,
         seal_every=3)["docs"].collect()))
     assert a == b
+
+
+def test_run_curation_job_staged_equals_monolithic_and_resumes(spark, tmp_path):
+    """The 3-group materialized runner produces exactly the single-shot
+    curate_corpus output, and a killed job resumes from the last committed
+    group without recomputing it."""
+    import pytest
+
+    from knowledge_graph_studio_spark.io.catalog import RunManifest
+    from knowledge_graph_studio_spark.operators.curation import (
+        run_curation_job,
+    )
+
+    d = _corpus(spark)
+    target = d.filter("doc_id <= 2").select("text")
+    kw = dict(url_col="url", eval_df=_eval_df(spark),
+              boilerplate_max_df_frac=0.2,
+              dsir_target=target, dsir_top_n=5,
+              dsir_kwargs={"n_buckets": 512}, pack_seq_len=32)
+    mono = sorted(map(tuple, curate_corpus(d, **kw)["docs"].collect()))
+
+    wd = str(tmp_path / "job")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_curation_job(spark, d, wd, fail_after_group=0, **kw)
+    recs0 = {r["partition_id"]: r for r in RunManifest(wd, "curate0").records()
+             if r["stage"] == "curation_group"}
+    assert set(recs0) == {0}
+    # restart completes; group 0's original commit record is preserved
+    out = run_curation_job(spark, d, wd, **kw)
+    staged = sorted(map(tuple, out["docs"].collect()))
+    assert staged == mono
+    recs1 = {r["partition_id"]: r for r in RunManifest(wd, "curate0").records()
+             if r["stage"] == "curation_group"}
+    assert set(recs1) == {0, 1, 2}
+    assert recs1[0]["committed_at"] == recs0[0]["committed_at"]
+    # idempotent re-run: all groups read back, nothing recomputed
+    again = run_curation_job(spark, d, wd, **kw)
+    assert sorted(map(tuple, again["docs"].collect())) == staged
