@@ -134,3 +134,42 @@ def test_word_counts_is_one_aggregation(spark):
     plan = (word_counts(_df(spark))
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange") == 1  # single shuffle, map-side combined
+
+
+# --- property laws (pure python, hypothesis) -------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from knowledge_graph_studio_spark.operators.tokenize import (  # noqa: E402
+    _segment_word,
+)
+
+_words = st.lists(st.text(alphabet="abc", min_size=1, max_size=6),
+                  min_size=1, max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_words, st.integers(min_value=0, max_value=12))
+def test_bpe_segment_roundtrips_and_matches_reference(words, n_merges):
+    """For ANY corpus and ANY merge budget: the engine encoder applied to
+    the reference-fit merge table (a) reconstructs every word exactly and
+    (b) equals the independent reference encoder token-for-token."""
+    merges = _ref_fit([" ".join(words)], n_merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in words:
+        seg = _segment_word(w, ranks)
+        assert "".join(seg) == w + EOW
+        assert seg == _ref_segment(w, merges)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_words)
+def test_bpe_full_merge_budget_collapses_words(words):
+    """With an unbounded merge budget every in-corpus word becomes a
+    single token (BPE converges to the word vocabulary)."""
+    budget = sum(len(w) + 1 for w in set(words))
+    merges = _ref_fit([" ".join(words)], budget)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in words:
+        assert _segment_word(w, ranks) == [w + EOW]
