@@ -255,7 +255,7 @@ def curate_corpus(
     if mix_rates is not None:
         if stratum_col is None or stratum_col not in cur.columns:
             raise ValueError("mix_rates needs a stratum_col present in docs")
-        cur = sample_mix(cur, mix_rates, stratum_col, id_col=id_col)
+        cur = _seal(sample_mix(cur, mix_rates, stratum_col, id_col=id_col))
         stages["mixed"] = cur
 
     if pack_seq_len is not None:

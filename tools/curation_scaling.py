@@ -28,6 +28,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--stage-walls", action="store_true",
+                    help="time each stage's first materialization instead "
+                         "of the headline wall (sequential counts over the "
+                         "sealed stages — each count's delta is that "
+                         "stage's cost, since a seal caches after its "
+                         "first action). Drops the stages that run driver "
+                         "actions at construction time (fuzzy dedup's "
+                         "collapse probe + CC iterations, fit_dsir's "
+                         "totals collect, pack's shard-offset collect): "
+                         "those would materialize the whole prefix up "
+                         "front and zero out the prefix deltas. Their "
+                         "combined cost is (headline full-funnel wall - "
+                         "this mode's wall) at the same core count")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -60,9 +73,8 @@ def main() -> None:
                .filter(F.col("doc_id") % 31 == 5)
                .select(F.substring("text", 1, 120).alias("text")))
 
-    t0 = time.time()
-    out = curate_corpus(
-        crawl, url_col="url", ts_col="warc_ts", eval_df=eval_df,
+    kwargs = dict(
+        url_col="url", ts_col="warc_ts", eval_df=eval_df,
         blocked_domains=blocked, fuzzy_dedup=True,
         mix_rates={"en": 1.0, "de": 0.8, "fr": 0.6, "es": 0.5, "zh": 0.4},
         stratum_col="lang",
@@ -71,14 +83,68 @@ def main() -> None:
         dsir_top_n=max(n // 3, 10), dsir_kwargs={"n_buckets": 4096},
         pack_seq_len=1024,
         gopher_kwargs={"min_words": 10, "min_stop_hits": 1})
-    n_out = out["docs"].count()
+    if args.stage_walls:
+        # lazy-only funnel: fuzzy dedup (collapse probe + CC iterations),
+        # the DSIR fit, and pack all run driver actions at construction
+        # time, which would materialize the whole prefix before the first
+        # stage count and zero out the deltas (see --help)
+        kwargs["fuzzy_dedup"] = False
+        kwargs["dsir_target"] = None
+        kwargs["dsir_top_n"] = None
+        kwargs["pack_seq_len"] = None
+
+    stage_walls = None
+    if args.stage_walls:
+        # With AQE on, even a NON-eager localCheckpoint forces the
+        # adaptive final-plan computation, which EXECUTES the plan's
+        # shuffle-map stages as Spark jobs at construction time (measured:
+        # the sealed sf0.01 funnel submits ~31 jobs before any action).
+        # So a stage's real cost lives in its _seal call, not in a
+        # post-hoc count — instrument the concrete DataFrame class and
+        # attribute seal walls to stage names in construction order, then
+        # add each stage's first-count delta (the unrun result stage).
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+        seal_walls: list[float] = []
+        _orig_lc = _CDF.localCheckpoint
+
+        def _timed_lc(self, eager=True):
+            s = time.time()
+            r = _orig_lc(self, eager=eager)
+            seal_walls.append(time.time() - s)
+            return r
+
+        _CDF.localCheckpoint = _timed_lc
+        try:
+            t0 = time.time()
+            out = curate_corpus(crawl, **kwargs)
+        finally:
+            _CDF.localCheckpoint = _orig_lc
+        sealed = [nm for nm in out["stages"] if nm != "input"]
+        stage_walls = {}
+        for nm, df in out["stages"].items():
+            s0 = time.time()
+            df.count()
+            stage_walls[nm] = round(time.time() - s0, 3)
+        if len(sealed) == len(seal_walls):
+            for nm, w in zip(sealed, seal_walls):
+                stage_walls[nm] = round(stage_walls[nm] + w, 3)
+        else:  # unexpected seal cadence — report the raw list alongside
+            stage_walls["_seal_walls"] = [round(w, 3) for w in seal_walls]
+        n_out = out["docs"].count()
+    else:
+        t0 = time.time()
+        out = curate_corpus(crawl, **kwargs)
+        n_out = out["docs"].count()
     wall = time.time() - t0
-    print(json.dumps({
+    rec = {
         "metric": "curation_funnel_sec", "value": round(wall, 3),
         "unit": "sec", "cores": args.cores, "docs_in": n,
         "docs_out": n_out, "docs_per_sec": round(n / wall, 2),
         "sf_dir": args.sf_dir,
-    }))
+    }
+    if stage_walls is not None:
+        rec["stage_walls"] = stage_walls
+    print(json.dumps(rec))
     spark.stop()
 
 
