@@ -40,7 +40,22 @@ _T = Callable[[SparkSession, str], DataFrame]
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Widen narrow scans of the TEXT/VECTOR tables up to cluster width
+    # (session.ensure_width): they are single small files whose scans yield
+    # ONE partition at any split size, and their consumers fan out per
+    # token (shingles, n-gram explodes, per-dim vector math), so the
+    # heaviest map stage would run serial regardless of cores (measured
+    # 4.6x on gopher_repetition). The columnar analytic tables (lineitem,
+    # orders, ...) are deliberately NOT widened: their queries are
+    # codegen'd scan+agg/join with no per-row amplification, so a full-
+    # table repartition shuffle costs more than the width buys. At 100 TB
+    # every scan exceeds cluster width and the gate is an exact no-op.
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        from .session import ensure_width
+
+        return ensure_width(df)
+    return df
 
 
 def _cents(col) -> F.Column:

@@ -228,25 +228,78 @@ def gopher_repetition(
             arr, lambda x: F.struct(F.lit(kind).alias("kind"),
                                     x.alias("key")))
 
-    items = F.concat(
-        _tag(F.col("_lines"), "L"),
-        _tag(F.col("_paras"), "P"),
-        *[_tag(_word_ngrams(toks, n), f"g{n}") for n in _REP_NGRAM_NS],
-    )
-    ex = src.select(*id_cols, "_n_chars", F.explode(items).alias("it")).select(
-        *id_cols, "_n_chars",
-        F.col("it.kind").alias("_kind"), F.col("it.key").alias("_key"),
-    )
-    # hash_keys (production default): group on xxhash64(key) so the first
-    # shuffle carries 8-byte keys instead of n-gram text (same pattern as
-    # cleaning.span_dedup's hash_spans); the key length rides along as a
-    # pre-aggregated column. False groups on the raw text, which is how the
-    # DuckDB contract oracle pairs this operator byte-for-byte.
-    key = F.xxhash64("_kind", "_key") if hash_keys else F.col("_key")
-    c1 = ex.select(
-        *id_cols, "_n_chars", "_kind",
-        key.alias("_k"), F.length("_key").alias("_len"),
-    ).groupBy(*id_cols, "_kind", "_k").agg(
+    if hash_keys:
+        # hash-chain keys (production default): per-token xxhash64 + length
+        # are computed ONCE, then each n-gram key folds its window's token
+        # hashes (seeded by n) and its char length is the window's token
+        # lengths + (n-1) separators — no n-gram string is ever
+        # materialized and the explode carries (kind, int64, int32) instead
+        # of gram text. Grouping-equivalent to the raw-text path because
+        # tokens are whitespace-free, so string-equal grams <=> token-tuple-
+        # equal windows <=> hash-chain-equal keys (collisions aside, same
+        # 64-bit exposure as the previous xxhash64-of-text key; equivalence
+        # law-tested against hash_keys=False). False groups on the raw
+        # text, which is how the DuckDB contract oracle pairs this operator
+        # byte-for-byte.
+        tok_h = F.transform(toks, lambda x: F.xxhash64(x))
+        tok_l = F.transform(toks, lambda x: F.length(x))
+        hsrc = src.select(
+            *id_cols, "_n_chars", "_lines", "_paras",
+            tok_h.alias("_th"), tok_l.alias("_tl"))
+
+        def _tag_text_h(arr, kind: str):
+            return F.transform(
+                arr, lambda x: F.struct(
+                    F.lit(kind).alias("kind"),
+                    F.xxhash64(x).alias("h"),
+                    F.length(x).alias("l")))
+
+        def _gram_h(n: int):
+            ths, tls = F.col("_th"), F.col("_tl")
+            idx = F.when(
+                F.size(ths) >= n, F.sequence(F.lit(1), F.size(ths) - (n - 1))
+            ).otherwise(F.array().cast("array<int>"))
+            return F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.lit(f"g{n}").alias("kind"),
+                    F.aggregate(
+                        F.sequence(i, i + F.lit(n - 1)),
+                        F.lit(n).cast("long"),
+                        lambda acc, j: F.xxhash64(acc, F.element_at(ths, j)),
+                    ).alias("h"),
+                    F.aggregate(
+                        F.sequence(i, i + F.lit(n - 1)),
+                        F.lit(n - 1),
+                        lambda acc, j: acc + F.element_at(tls, j),
+                    ).alias("l")))
+
+        items_h = F.concat(
+            _tag_text_h(F.col("_lines"), "L"),
+            _tag_text_h(F.col("_paras"), "P"),
+            *[_gram_h(n) for n in _REP_NGRAM_NS],
+        )
+        ex = hsrc.select(
+            *id_cols, "_n_chars", F.explode(items_h).alias("it")
+        ).select(
+            *id_cols, "_n_chars",
+            F.col("it.kind").alias("_kind"), F.col("it.h").alias("_k"),
+            F.col("it.l").alias("_len"),
+        )
+    else:
+        items = F.concat(
+            _tag(F.col("_lines"), "L"),
+            _tag(F.col("_paras"), "P"),
+            *[_tag(_word_ngrams(toks, n), f"g{n}") for n in _REP_NGRAM_NS],
+        )
+        ex = src.select(
+            *id_cols, "_n_chars", F.explode(items).alias("it")
+        ).select(
+            *id_cols, "_n_chars",
+            F.col("it.kind").alias("_kind"), F.col("it.key").alias("_k"),
+            F.length("it.key").alias("_len"),
+        )
+    c1 = ex.groupBy(*id_cols, "_kind", "_k").agg(
         F.count("*").alias("_cnt"), F.min("_len").alias("_len"),
         F.min("_n_chars").alias("_n_chars"))
     cov = F.col("_cnt") * F.col("_len")

@@ -34,6 +34,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescer keeps >= defaultParallelism partitions
+        # (parallelismFirst) UNLESS that would drop pieces under
+        # minPartitionSize — default 1 MB, which collapses a small corpus's
+        # shuffles to 1-3 partitions. The stages downstream of those
+        # shuffles here are high-FAN-OUT (9 n-gram explodes per token,
+        # shingle generators), so bytes-in wildly understates work and a
+        # "tiny" shuffle output can feed seconds of near-serial map work
+        # (measured: gopher_repetition over sf0.1 ran 8.0 s 1-wide vs
+        # 1.7 s 8-wide). 64 KB keeps small inputs cluster-wide; at 100 TB
+        # total/parallelism >> 1 MB and the floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                "64k")
         # keep AQE active for plans that are persist()ed: without this a
         # cached plan is compiled with AQE's runtime re-planning disabled
         # (fixed shuffle partitioning, no broadcast demotion/promotion) —
@@ -97,6 +109,25 @@ def size_input_splits(spark: SparkSession, path: str) -> int:
     return split
 
 
+def ensure_width(df, min_partitions: int | None = None):
+    """Repartition ``df`` UP to cluster width when it arrives narrower —
+    never down. The complement of :func:`size_input_splits` for inputs the
+    split sizer can't widen (a single-row-group file scans as ONE partition
+    at any split size), feeding high-fan-out operators (n-gram explodes,
+    shingle generators) whose map-side work runs at the input's partition
+    count. At 100 TB the input already exceeds cluster width and this is an
+    exact no-op; the partition probe is metadata-only for file scans and
+    checkpoints."""
+    width = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # exotic plan that refuses RDD conversion — leave it
+        return df
+    if cur < width:
+        return df.repartition(width)
+    return df
+
+
 def attach_submitted_session() -> SparkSession | None:
     """Attach to a spark-submit-launched JVM instead of building one.
 
@@ -129,6 +160,8 @@ def tune_sql_conf(spark: SparkSession, cores: int | None = None) -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                   "64k")
     spark.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     spark.conf.set(

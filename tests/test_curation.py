@@ -54,16 +54,46 @@ def test_curate_corpus_stage_attribution(spark):
     funnel = dict(curation_funnel(out["stages"]))
     assert funnel["input"] == 14
     assert funnel["url_dedup"] == 13          # doc 9 folded into doc 1's url
-    assert funnel["gopher_quality"] == funnel["span_dedup"] - 1   # doc 10
+    # exact dedup now runs BEFORE the Gopher filters (output-equivalent;
+    # the filters see only distinct texts)
+    assert funnel["exact_dedup"] == funnel["span_dedup"] - 1            # 8
+    assert funnel["gopher_quality"] == funnel["exact_dedup"] - 1  # doc 10
     assert funnel["gopher_repetition"] == funnel["gopher_quality"] - 1  # 11
-    assert funnel["exact_dedup"] == funnel["gopher_repetition"] - 1     # 8
-    assert funnel["decontaminated"] == funnel["exact_dedup"] - 1        # 12
+    assert funnel["decontaminated"] == funnel["gopher_repetition"] - 1  # 12
     ids = {r["doc_id"] for r in out["docs"].select("doc_id").collect()}
     assert ids == {0, 1, 2, 3, 4, 5, 6, 7, 13}
     by_id = {r["doc_id"]: r["text"] for r in out["docs"].collect()}
     # boilerplate lines stripped everywhere; PII token substituted
     assert "NAV bar" not in by_id[0] and "FOOTER" not in by_id[0]
     assert "<EMAIL>" in by_id[13] and "bob@example.com" not in by_id[13]
+
+
+def test_exact_dedup_commutes_with_gopher(spark):
+    """The dedup-before-Gopher reorder law: per-doc filters give identical
+    verdicts to identical texts, so filter(dedup(d)) and dedup(filter(d))
+    keep exactly the same doc ids. Exercised with duplicate groups on both
+    sides of the quality rules."""
+    from knowledge_graph_studio_spark.operators.textstats import (
+        gopher_filter)
+
+    good = ("the words be to of and that have with " * 4).strip()
+    rows = [(i, good + f" tail{i % 3}") for i in range(9)]  # 3 dup groups
+    rows += [(20, "tiny doc"), (21, "tiny doc"), (22, "tiny doc")]  # failing
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def dedup(df):
+        keep = (df.groupBy(F.md5("text").alias("_h"))
+                .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+        return df.join(keep, "doc_id", "left_semi")
+
+    def gq(df):
+        flt = gopher_filter(df, min_words=10, min_stop_hits=1)
+        return df.join(flt.filter("passes = 1").select("doc_id"),
+                       "doc_id", "left_semi")
+
+    a = {r["doc_id"] for r in gq(dedup(d)).collect()}
+    b = {r["doc_id"] for r in dedup(gq(d)).collect()}
+    assert a == b == {0, 1, 2}
 
 
 def test_curate_corpus_mixture_stage(spark):

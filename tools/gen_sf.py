@@ -56,7 +56,13 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=16)
     ap.add_argument("--src", default=SRC)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to generate (default all) "
+                         "— e.g. --tables documents for a funnel-only "
+                         "corpus at high multipliers, skipping the "
+                         "gigabyte-scale lineitem tiling")
     args = ap.parse_args()
+    only = set(args.tables.split(",")) if args.tables else None
     out = args.out or f"/dev/shm/kg_sf_x{args.mult}"
 
     from pyspark.sql import functions as F
@@ -76,11 +82,15 @@ def main() -> None:
                     .agg(F.max(F.col(kc).cast("long"))).collect()[0][0]) + 1
 
     for t in COPY_ONLY:
+        if only is not None and t not in only:
+            continue
         spark.read.parquet(f"{args.src}/{t}.parquet") \
             .write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
     reps = spark.range(args.mult).withColumnRenamed("id", "_rep")
     for t, cols in OFFSETS.items():
+        if only is not None and t not in only:
+            continue
         df = spark.read.parquet(f"{args.src}/{t}.parquet")
         tiled = df.crossJoin(F.broadcast(reps))
         for c, ks in cols.items():
