@@ -891,6 +891,26 @@ def q_kg_connected_components(spark, sf):
     return connected_components(nearest).select("member", "component")
 
 
+_PAGERANK_ITERS = 5
+_PAGERANK_DAMPING = 85  # percent
+_PAGERANK_SCALE = 10**12
+
+
+def q_kg_pagerank(spark, sf):
+    """Entity-salience PageRank over the co-occurrence graph (the iterative-
+    DataFrame-join analogue of kg_connected_components, linking.pagerank):
+    integer-exact arithmetic makes the distributed loop value-checkable
+    against a DuckDB oracle with the iterations unrolled as chained CTEs
+    generated from the same constants."""
+    from .operators.linking import pagerank
+
+    t = q_kg_cooccurrence(spark, sf)
+    return pagerank(
+        t.select(F.col("head").alias("src"), F.col("tail").alias("dst")),
+        n_iter=_PAGERANK_ITERS, damping_pct=_PAGERANK_DAMPING,
+        scale=_PAGERANK_SCALE)
+
+
 def q_kg_node_degree(spark, sf):
     """L2-analog node table over the co-occurrence graph: degree + support."""
     t = q_kg_cooccurrence(spark, sf)
@@ -1504,6 +1524,7 @@ QUERIES: dict[str, _T] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_node_degree": q_kg_node_degree,
     "kg_connected_components": q_kg_connected_components,
+    "kg_pagerank": q_kg_pagerank,
     "compress_triples": q_compress_triples,
     "kg_verbalize": q_kg_verbalize,
     "kg_triple_topk": q_kg_triple_topk,
@@ -1989,6 +2010,55 @@ ORACLE_SQL["ann_ivf_candidates_hashed"] = _ann_ivf_candidates_oracle_sql()
 
 ORACLE_SQL["simhash"] = _simhash_oracle_sql()
 ORACLE_SQL["minhash_lsh"] = _minhash_oracle_sql()
+
+
+def _pagerank_oracle_sql(
+    n_iter: int = _PAGERANK_ITERS,
+    damping: int = _PAGERANK_DAMPING,
+    scale: int = _PAGERANK_SCALE,
+) -> str:
+    """kg_pagerank oracle: the distributed iterative loop unrolled as chained
+    CTEs s0..s{n_iter}, generated from the SAME constants the Spark side
+    uses. Every quantity is int64 with integer division in the identical
+    order (rank // deg per edge, then base + (damping * sum) // 100), so the
+    two engines agree bit-for-bit — no float accumulation order to diverge.
+    DuckDB's sum(BIGINT) widens to HUGEINT, hence the explicit bigint casts."""
+    sql = _COOC_CTE + f"""
+        , sym as (
+          select head as u, tail as v from cooc
+          union
+          select tail as u, head as v from cooc
+        ), deg as (
+          select u, count(*) as deg from sym group by u
+        ), cst as (
+          select cast({scale} // count(*) as bigint) as init,
+                 cast((({scale} // count(*)) * {100 - damping}) // 100
+                      as bigint) as base
+          from deg
+        ), oe as (
+          select sym.u, sym.v, deg.deg from sym join deg on deg.u = sym.u
+        ), s0 as (
+          select u as member, cst.init as "rank" from deg cross join cst
+        )"""
+    for i in range(1, n_iter + 1):
+        sql += f"""
+        , c{i} as (
+          select oe.v as member,
+                 cast(sum(r."rank" // oe.deg) as bigint) as s
+          from oe join s{i - 1} r on oe.u = r.member
+          group by oe.v
+        ), s{i} as (
+          select d.u as member,
+                 cast(cst.base + ({damping} * coalesce(c.s, 0)) // 100
+                      as bigint) as "rank"
+          from deg d cross join cst
+          left join c{i} c on c.member = d.u
+        )"""
+    return sql + f"""
+        select member, "rank" from s{n_iter}"""
+
+
+ORACLE_SQL["kg_pagerank"] = _pagerank_oracle_sql()
 
 
 def _topk_hashed_oracle_sql() -> str:

@@ -256,6 +256,77 @@ def connected_components_driver(pairs: list[tuple]) -> dict:
     return {x: find(x) for x in nodes}
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Entity-salience PageRank over an undirected (symmetrized) graph ->
+    (member, rank). The ranking analogue of :func:`connected_components` for
+    the node table the reference surfaces per-workspace (services/crud/
+    node.py ranks by raw chunk count; this is the graph-aware salience a KG
+    studio reports for 'most central entities').
+
+    EXACT int64 arithmetic throughout — rank starts at scale//n and each
+    round computes ``base + (damping_pct * sum(rank div deg)) div 100`` with
+    integer division — so the result is bit-reproducible across engines and
+    partitionings (int64 sums are associative/commutative; no float
+    accumulation order sensitivity), which is what lets the driver contract
+    oracle-pair it against DuckDB. Truncation loss per round is < n_nodes
+    ulps of the scale, deterministic.
+
+    Scale shape: one shuffle per iteration (join on member id + groupBy on
+    the destination), the same skew profile as connected_components — the
+    join key is the member, not the component, and AQE skew-join covers hot
+    entities. The degree-annotated edge table is checkpointed once and
+    reused every round; ranks are checkpointed per round to truncate
+    lineage. Symmetrization means every node has out-degree >= 1, so there
+    is no dangling-mass redistribution term."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    # (u, v, deg(u)) reused by every iteration: checkpoint once. Lazy —
+    # materializes inside iteration 1's job rather than as its own job
+    # (sym above is the eager one: it is read twice in a single job).
+    out_edges = sym.join(deg, "u").localCheckpoint(eager=False)
+    nodes = deg.select(F.col("u").alias("member")).localCheckpoint(eager=False)
+    n = nodes.count()  # bounded scalar probe (node count; seals nodes)
+    if n == 0:
+        return nodes.select(
+            "member", F.lit(0).cast("long").alias("rank"))
+    init = scale // n
+    base = init * (100 - damping_pct) // 100
+    rank = nodes.select("member", F.lit(init).cast("long").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            out_edges.join(rank, out_edges["u"] == rank["member"])
+            .select(F.col("v").alias("member"),
+                    F.expr("rank div deg").alias("c"))
+            .groupBy("member").agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.join(contrib, "member", "left")
+            .select(
+                "member",
+                (F.lit(base).cast("long")
+                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                 ).cast("long").alias("rank"),
+            )
+            # lazy: truncates lineage but materializes inside the NEXT
+            # iteration's job (or the caller's first action) instead of one
+            # driver-synchronized job per round
+            .localCheckpoint(eager=False)
+        )
+    return rank
+
+
 # alias-pair count below which CC runs as driver-side union-find; above it,
 # the iterative DataFrame-join loop runs. ~100k pairs is well under broadcast
 # limits and far above anything a per-workspace alias graph produces.

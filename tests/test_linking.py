@@ -357,3 +357,63 @@ def test_fuzzy_pairs_exact_recall_for_first_char_indels(spark):
     assert ("Globbex", "Globex") in got or ("Globex", "Globbex") in got
     assert ("OpenAI", "OpenAL") in got or ("OpenAL", "OpenAI") in got
     assert all({"Acme", "OpenAI"} != {a, b} for a, b in got)
+
+
+def _pagerank_reference(edges, n_iter=5, damping=85, scale=10**12):
+    """Pure-Python re-derivation of the SAME integer recurrence."""
+    from collections import defaultdict
+
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    deg = defaultdict(int)
+    for u, _ in sym:
+        deg[u] += 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    init = scale // n
+    base = init * (100 - damping) // 100
+    rank = {u: init for u in nodes}
+    for _ in range(n_iter):
+        recv = defaultdict(int)
+        for u, v in sym:
+            recv[v] += rank[u] // deg[u]
+        rank = {u: base + (damping * recv.get(u, 0)) // 100 for u in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_reference(spark):
+    import random
+
+    from knowledge_graph_studio_spark.operators.linking import pagerank
+
+    random.seed(7)
+    names = [f"e{i}" for i in range(40)]
+    edges = {(a, b) for a, b in
+             (random.sample(names, 2) for _ in range(120)) if a < b}
+    # plus a hub wired to everything: skew + a clear salience winner
+    edges |= {("HUB", x) for x in names[:25]}
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    got = {r["member"]: r["rank"] for r in pagerank(df).collect()}
+    assert got == _pagerank_reference(edges)
+    # salience: the hub outranks every spoke
+    assert max(got, key=got.get) == "HUB"
+    # integer mass conservation: total <= scale, truncation loss < n per
+    # division site per round (bounded well above by 2*n_iter*|nodes|*100)
+    total = sum(got.values())
+    n = len(got)
+    assert total <= 10**12
+    assert total >= 10**12 - 2 * 5 * n * 100 - n
+
+
+def test_pagerank_empty_and_uniform(spark):
+    from knowledge_graph_studio_spark.operators.linking import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+    # a cycle is perfectly symmetric: every node gets the identical rank
+    cyc = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)], ["src", "dst"])
+    ranks = {r["rank"] for r in pagerank(cyc).collect()}
+    assert len(ranks) == 1
