@@ -831,6 +831,23 @@ def q_fingerprint(spark, sf):
     return fingerprints(_read(spark, sf, "documents"))
 
 
+_BM25_QUERY = "fast hash join spark merge"
+_BM25_K = 15
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 lexical retrieval (plans/query.bm25_topk — the Q13
+    relevance upgrade): per-(doc,term) contributions floored to int64 at 1e6
+    resolution before the per-doc sum (exact, order-free aggregate), oracle-
+    paired against the same formula in DuckDB from shared constants."""
+    from .plans.query import bm25_topk
+
+    return bm25_topk(_read(spark, sf, "documents"), _BM25_QUERY,
+                     k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
 # --------------------------------------------------------------------------- #
 # KG-analog extraction ops over `documents` (oracle-checkable E1/E2/E11/L2/Q18)
 # --------------------------------------------------------------------------- #
@@ -1519,6 +1536,7 @@ QUERIES: dict[str, _T] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
+    "bm25_topk": q_bm25_topk,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2059,6 +2077,62 @@ def _pagerank_oracle_sql(
 
 
 ORACLE_SQL["kg_pagerank"] = _pagerank_oracle_sql()
+
+
+def _bm25_oracle_sql(
+    query: str = _BM25_QUERY, k: int = _BM25_K,
+    k1: float = _BM25_K1, b: float = _BM25_B,
+) -> str:
+    """bm25_topk oracle: identical formula, identical fixed-point floor
+    BEFORE the sum. Every float constant is interpolated via repr() so both
+    engines parse the same shortest-round-trip literal; mixed decimal/double
+    promotion in DuckDB lands on the same doubles because each decimal
+    constant converts correctly-rounded. Only ln's last ulp could diverge
+    (the lm_unigram_score exposure)."""
+    import re as _re
+
+    terms = sorted(set(_re.findall(r"[a-z0-9]+", query.lower())))
+    tlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    k1p1 = repr(k1 + 1.0)
+    return f"""
+    with d as (
+      select doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') as toks
+      from documents
+    ), base as (
+      select doc_id, len(toks) as dl,
+             list_filter(toks, x -> list_contains({tlist}, x)) as qt
+      from d
+    ), stats as (
+      select count(*) as n, cast(sum(dl) as bigint) as sumdl from base
+    ), post as (
+      select doc_id, dl, unnest(qt) as term from base where len(qt) > 0
+    ), tfs as (
+      select doc_id, dl, term, count(*) as tf
+      from post group by doc_id, dl, term
+    ), dfs as (
+      select term, count(*) as df from tfs group by term
+    ), scored as (
+      select t.doc_id,
+             cast(floor(
+               {repr(1e6)}
+               * ln({repr(1.0)} + (cast(s.n as double) - f.df + {repr(0.5)})
+                                  / (f.df + {repr(0.5)}))
+               * (cast(t.tf as double) * {k1p1})
+               / (cast(t.tf as double)
+                  + {repr(k1)} * ({repr(1.0)} - {repr(b)}
+                     + {repr(b)} * cast(t.dl as double)
+                       / (cast(s.sumdl as double) / cast(s.n as double))))
+             ) as bigint) as c
+      from tfs t join dfs f using (term) cross join stats s
+    )
+    select doc_id, cast(sum(c) as bigint) as score_x1e6
+    from scored group by doc_id
+    order by score_x1e6 desc, doc_id
+    limit {k}"""
+
+
+ORACLE_SQL["bm25_topk"] = _bm25_oracle_sql()
 
 
 def _topk_hashed_oracle_sql() -> str:

@@ -28,6 +28,7 @@ materialization)."""
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -360,6 +361,77 @@ def relevance_filter(
     return (
         edges_verbalized.withColumn("relevance", overlap)
         .filter(F.col("relevance") >= min_overlap)
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over a text table -> (id_col, score_x1e6),
+    ordered by score desc then id. The lexical-retrieval upgrade of the Q13
+    token-overlap stub (graph_service.py:1781-1842 position): idf saturating
+    term-frequency with document-length normalization, the standard
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) variant.
+
+    Fixed-point contract (the repo's LM-scoring convention): each (doc, term)
+    contribution is floored to an int64 at 1e6 resolution BEFORE the per-doc
+    sum, so the aggregate is exact and order-independent — bit-reproducible
+    across partitionings and oracle-pairable (float addition order never
+    enters; only ln's last ulp could differ between engines, same accepted
+    exposure as lm_unigram_score).
+
+    Scale shape: the token stream is filtered to query terms INSIDE the
+    array (per-row F.filter against a literal array) before any explode, so
+    the exploded postings carry only query-term hits — a 100 TB scan
+    explodes ~|hits|, not ~|tokens|. Corpus stats (N, sum dl) are one
+    broadcast row; per-term df is <= |query| rows, broadcast; one shuffle
+    for the (doc, term) tf aggregation; top-k is TakeOrderedAndProject."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms:
+        return docs.select(
+            F.col(id_col), F.lit(0).cast("long").alias("score_x1e6")
+        ).limit(0)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        .alias("_toks"),
+    ).select(
+        "_id",
+        F.size("_toks").alias("_dl"),
+        F.filter("_toks", lambda x: F.array_contains(term_arr, x))
+        .alias("_qt"),
+    )
+    stats = base.agg(F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl"))
+    postings = (
+        base.filter(F.size("_qt") > 0)
+        .select("_id", "_dl", F.explode("_qt").alias("_term"))
+        .groupBy("_id", "_dl", "_term").agg(F.count("*").alias("_tf"))
+    )
+    df_t = postings.groupBy("_term").agg(F.count("*").alias("_df"))
+    tf = F.col("_tf").cast("double")
+    n_d = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / n_d
+    idf = F.log(F.lit(1.0) + (n_d - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5)))
+    denom = tf + F.lit(k1) * (F.lit(1.0) - F.lit(b)
+                              + F.lit(b) * F.col("_dl").cast("double") / avgdl)
+    contrib = F.floor(
+        F.lit(1e6) * idf * (tf * F.lit(k1 + 1.0)) / denom).cast("long")
+    return (
+        postings.join(F.broadcast(df_t), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select("_id", contrib.alias("_c"))
+        .groupBy("_id").agg(F.sum("_c").alias("score_x1e6"))
+        .orderBy(F.desc("score_x1e6"), F.asc("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "score_x1e6")
     )
 
 

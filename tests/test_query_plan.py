@@ -369,3 +369,63 @@ def test_ann_index_refresh_after_incremental_update(spark, tmp_path):
     got = similarity_search_indexed(emb, target["verbalized"], idx1, k=8)
     assert target["edge_id"] in {r["edge_id"] for r in got.collect()}
     emb.unpersist()
+
+
+def _bm25_reference(texts, query, k1=1.2, b=0.75):
+    """Pure-Python BM25 with the SAME 1e6 fixed-point floor-before-sum."""
+    import math
+    import re
+
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    out = {}
+    for i, v in toks.items():
+        s = 0
+        for t in terms:
+            tf = v.count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += math.floor(1e6 * idf * (tf * (k1 + 1.0))
+                            / (tf + k1 * (1 - b + b * len(v) / avgdl)))
+        if s:
+            out[i] = s
+    return out
+
+
+def test_bm25_matches_fixed_point_reference(spark):
+    from knowledge_graph_studio_spark.plans.query import bm25_topk
+
+    texts = {
+        1: "spark joins the hash table fast",
+        2: "fast fast fast spark spark hash hash hash hash",
+        3: "a completely unrelated document about gardening roses",
+        4: "hash join strategies: broadcast hash join versus sort merge join",
+        5: "spark " * 50 + "padding words to stretch document length",
+    }
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string")
+    q = "fast hash join spark"
+    got = [(r["doc_id"], r["score_x1e6"])
+           for r in bm25_topk(docs, q, k=10).collect()]
+    ref = _bm25_reference(texts, q)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+    # the gardening doc matches nothing; every other doc scores
+    assert {i for i, _ in got} == {1, 2, 4, 5}
+    # saturation + length norm: doc 2 (dense in 3 terms, short) wins
+    assert got[0][0] == 2
+
+
+def test_bm25_empty_query_and_plan(spark):
+    from knowledge_graph_studio_spark.plans.query import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    assert bm25_topk(docs, "???").count() == 0
+    plan = bm25_topk(docs, "alpha")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # stats join is broadcast
