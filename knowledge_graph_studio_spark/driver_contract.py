@@ -928,6 +928,18 @@ def q_kg_pagerank(spark, sf):
         scale=_PAGERANK_SCALE)
 
 
+def q_kg_triangles(spark, sf):
+    """Per-node triangle count + local clustering coefficient over the
+    co-occurrence graph (linking.triangle_counts: degree-ordered orientation
+    + wedge join + closing semi-join). Pure integer arithmetic -> the DuckDB
+    oracle replays the identical orientation and (2e6*T) // (deg*(deg-1))."""
+    from .operators.linking import triangle_counts
+
+    t = q_kg_cooccurrence(spark, sf)
+    return triangle_counts(
+        t.select(F.col("head").alias("src"), F.col("tail").alias("dst")))
+
+
 def q_kg_node_degree(spark, sf):
     """L2-analog node table over the co-occurrence graph: degree + support."""
     t = q_kg_cooccurrence(spark, sf)
@@ -1543,6 +1555,7 @@ QUERIES: dict[str, _T] = {
     "kg_node_degree": q_kg_node_degree,
     "kg_connected_components": q_kg_connected_components,
     "kg_pagerank": q_kg_pagerank,
+    "kg_triangles": q_kg_triangles,
     "compress_triples": q_compress_triples,
     "kg_verbalize": q_kg_verbalize,
     "kg_triple_topk": q_kg_triple_topk,
@@ -2133,6 +2146,50 @@ def _bm25_oracle_sql(
 
 
 ORACLE_SQL["bm25_topk"] = _bm25_oracle_sql()
+
+ORACLE_SQL["kg_triangles"] = _COOC_CTE + """
+    , e as (
+      select distinct least(head, tail) as u, greatest(head, tail) as v
+      from cooc where head <> tail
+    ), degs as (
+      select member, count(*) as degree from (
+        select u as member from e union all select v from e
+      ) group by member
+    ), o as (
+      -- degree-ordered orientation, identical tie-break to the Spark side
+      select case when du.degree < dv.degree
+                    or (du.degree = dv.degree and e.u < e.v)
+                  then e.u else e.v end as a,
+             case when du.degree < dv.degree
+                    or (du.degree = dv.degree and e.u < e.v)
+                  then e.v else e.u end as b,
+             case when du.degree < dv.degree
+                    or (du.degree = dv.degree and e.u < e.v)
+                  then dv.degree else du.degree end as db
+      from e
+      join degs du on du.member = e.u
+      join degs dv on dv.member = e.v
+    ), wedges as (
+      select w1.a, w1.b as x, w1.db as dx, w2.b as y, w2.db as dy
+      from o w1 join o w2 on w1.a = w2.a
+      where w1.db < w2.db or (w1.db = w2.db and w1.b < w2.b)
+    ), tri as (
+      select w.a, w.x, w.y from wedges w
+      where exists (select 1 from o where o.a = w.x and o.b = w.y)
+    ), per as (
+      select member, count(*) as triangles from (
+        select a as member from tri
+        union all select x from tri
+        union all select y from tri
+      ) group by member
+    )
+    select d.member, d.degree,
+           cast(coalesce(p.triangles, 0) as bigint) as triangles,
+           cast(case when d.degree >= 2
+                then (2000000 * coalesce(p.triangles, 0))
+                     // (d.degree * (d.degree - 1))
+                else 0 end as bigint) as clustering_x1e6
+    from degs d left join per p on p.member = d.member"""
 
 
 def _topk_hashed_oracle_sql() -> str:

@@ -417,3 +417,55 @@ def test_pagerank_empty_and_uniform(spark):
         [(f"n{i}", f"n{(i + 1) % 6}") for i in range(6)], ["src", "dst"])
     ranks = {r["rank"] for r in pagerank(cyc).collect()}
     assert len(ranks) == 1
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import random
+    from itertools import combinations
+
+    from knowledge_graph_studio_spark.operators.linking import triangle_counts
+
+    random.seed(13)
+    names = [f"n{i}" for i in range(18)]
+    edges = {tuple(sorted(random.sample(names, 2))) for _ in range(70)}
+    # feed unsorted orientations + a duplicate + a self-loop: all normalized
+    feed = ([(b, a) if i % 2 else (a, b)
+             for i, (a, b) in enumerate(sorted(edges))]
+            + [next(iter(edges)), ("n0", "n0")])
+    df = spark.createDataFrame(feed, ["src", "dst"])
+    got = {r["member"]: (r["degree"], r["triangles"], r["clustering_x1e6"])
+           for r in triangle_counts(df).collect()}
+
+    adj = {n: set() for n in names}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for n in names:
+        if not adj[n]:
+            continue  # isolated nodes don't appear (no edges -> no row)
+        t = sum(1 for x, y in combinations(sorted(adj[n]), 2)
+                if y in adj[x])
+        d = len(adj[n])
+        c = (2_000_000 * t) // (d * (d - 1)) if d >= 2 else 0
+        want[n] = (d, t, c)
+    assert got == want
+    # sanity: the triangle total is consistent (each counted at 3 members)
+    assert sum(v[1] for v in got.values()) % 3 == 0
+
+
+def test_triangle_counts_known_shapes(spark):
+    from knowledge_graph_studio_spark.operators.linking import triangle_counts
+
+    # K4: every node has degree 3, 3 triangles, coefficient exactly 1
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    got = {r["member"]: r for r in
+           triangle_counts(spark.createDataFrame(k4, ["src", "dst"])).collect()}
+    assert all(r["degree"] == 3 and r["triangles"] == 3
+               and r["clustering_x1e6"] == 1_000_000 for r in got.values())
+    # path graph: zero triangles everywhere
+    path = [("p1", "p2"), ("p2", "p3"), ("p3", "p4")]
+    rows = triangle_counts(
+        spark.createDataFrame(path, ["src", "dst"])).collect()
+    assert all(r["triangles"] == 0 and r["clustering_x1e6"] == 0
+               for r in rows)
