@@ -940,6 +940,31 @@ def q_kg_triangles(spark, sf):
         t.select(F.col("head").alias("src"), F.col("tail").alias("dst")))
 
 
+_KHOP_SEEDS = ["spark"]
+_KHOP_MAX = 2
+
+
+def q_kg_khop(spark, sf):
+    """K-hop BFS expansion around a seed entity (plans/query.khop_distances:
+    level-synchronous frontier joins) — oracle-paired against a depth-bounded
+    recursive CTE taking min(dist)."""
+    from .plans.query import khop_distances
+
+    t = q_kg_cooccurrence(spark, sf)
+    # sparse nearest-partner graph (the kg_connected_components derivation):
+    # the full cooc graph is near-complete, which would make every node
+    # 1-hop and the expansion trivial
+    sym = t.select(F.col("head").alias("a"), F.col("tail").alias("b"),
+                   "support").union(
+        t.select(F.col("tail").alias("a"), F.col("head").alias("b"),
+                 "support"))
+    w = Window.partitionBy("a").orderBy("support", "b")
+    nearest = (sym.withColumn("rk", F.row_number().over(w))
+               .filter("rk = 1")
+               .select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return khop_distances(nearest, _KHOP_SEEDS, max_hops=_KHOP_MAX)
+
+
 def q_kg_node_degree(spark, sf):
     """L2-analog node table over the co-occurrence graph: degree + support."""
     t = q_kg_cooccurrence(spark, sf)
@@ -1556,6 +1581,7 @@ QUERIES: dict[str, _T] = {
     "kg_connected_components": q_kg_connected_components,
     "kg_pagerank": q_kg_pagerank,
     "kg_triangles": q_kg_triangles,
+    "kg_khop": q_kg_khop,
     "compress_triples": q_compress_triples,
     "kg_verbalize": q_kg_verbalize,
     "kg_triple_topk": q_kg_triple_topk,
@@ -2146,6 +2172,33 @@ def _bm25_oracle_sql(
 
 
 ORACLE_SQL["bm25_topk"] = _bm25_oracle_sql()
+
+ORACLE_SQL["kg_khop"] = _COOC_CTE + f"""
+    , sym as (
+      select head as a, tail as b, support from cooc
+      union all
+      select tail as a, head as b, support from cooc
+    ), nearest as (
+      select a, b from (
+        select a, b,
+               row_number() over (partition by a order by support, b) as rk
+        from sym) t where rk = 1
+    ), e as (
+      select a as src, b as dst from nearest
+      union
+      select b as src, a as dst from nearest
+    ), reach as (
+      with recursive r(member, dist) as (
+        select unnest([{", ".join(f"'{s}'" for s in _KHOP_SEEDS)}]), 0
+        union
+        select e.dst, r.dist + 1
+        from r join e on e.src = r.member
+        where r.dist < {_KHOP_MAX}
+      )
+      select * from r
+    )
+    select member, cast(min(dist) as bigint) as dist
+    from reach group by member"""
 
 ORACLE_SQL["kg_triangles"] = _COOC_CTE + """
     , e as (

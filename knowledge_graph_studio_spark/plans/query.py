@@ -364,6 +364,56 @@ def relevance_filter(
     )
 
 
+def khop_distances(
+    edges: DataFrame,
+    seeds: list,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """BFS hop distance from a seed set over an undirected graph ->
+    (member, dist) for every node within ``max_hops`` (seeds at 0, minimum
+    distance). The 'expand the subgraph around these entities' query every
+    graph UI issues; the structured prefilter (Q11) restricts to an id set,
+    this grows one.
+
+    Scale shape: level-synchronous frontier BFS as iterative DataFrame
+    joins — per round one join frontier><edges (shuffle on member id, AQE
+    skew-join for hub entities) and one left-anti against the visited set;
+    the visited/distance table is checkpointed per round to truncate
+    lineage. Rounds = min(max_hops, eccentricity), each a constant number
+    of shuffles; the frontier is emptiness-probed so a converged expansion
+    stops early."""
+    from pyspark.sql import types as T
+
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    member_type = edges.schema[src].dataType
+    seed_rows = [(s,) for s in sorted(set(seeds))]
+    dist = spark.createDataFrame(
+        seed_rows, T.StructType([T.StructField("member", member_type)])
+    ).withColumn("dist", F.lit(0).cast("long"))
+    frontier = dist.select("member")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["u"] == frontier["member"])
+            .select(F.col("v").alias("member")).distinct()
+            .join(dist, "member", "left_anti")
+            .withColumn("dist", F.lit(i).cast("long"))
+            .localCheckpoint()  # eager: probed below AND unioned
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("member")
+    return dist
+
+
 def bm25_topk(
     docs: DataFrame,
     query: str,

@@ -429,3 +429,49 @@ def test_bm25_empty_query_and_plan(spark):
     plan = bm25_topk(docs, "alpha")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # stats join is broadcast
+
+
+def test_khop_distances_matches_bfs(spark):
+    import random
+    from collections import deque
+
+    from knowledge_graph_studio_spark.plans.query import khop_distances
+
+    random.seed(5)
+    names = [f"v{i}" for i in range(25)]
+    edges = {tuple(sorted(random.sample(names, 2))) for _ in range(32)}
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    seeds = ["v0", "v7"]
+    got = {r["member"]: r["dist"]
+           for r in khop_distances(df, seeds, max_hops=3).collect()}
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if want[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    assert got == want
+    assert all(d <= 3 for d in got.values())
+
+
+def test_khop_early_stop_and_isolated_seed(spark):
+    from knowledge_graph_studio_spark.plans.query import khop_distances
+
+    # two-node component: frontier empties after hop 1, loop stops early
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r["member"]: r["dist"]
+           for r in khop_distances(df, ["a"], max_hops=10).collect()}
+    assert got == {"a": 0, "b": 1}
+    # a seed absent from the graph still reports itself at distance 0
+    got2 = {r["member"]: r["dist"]
+            for r in khop_distances(df, ["zz"], max_hops=2).collect()}
+    assert got2 == {"zz": 0}
