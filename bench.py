@@ -52,6 +52,11 @@ HEADLINE = [
     "dsir_scores",
     "bloom_seen",
     "pack_sequences",
+    # round-5 graph-analytics/retrieval wave: iterative integer PageRank,
+    # oriented-wedge triangle counting, and fixed-point BM25 top-k
+    "kg_pagerank",
+    "kg_triangles",
+    "bm25_topk",
 ]
 
 
