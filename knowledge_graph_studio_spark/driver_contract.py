@@ -911,17 +911,24 @@ def q_kg_connected_components(spark, sf):
 _PAGERANK_ITERS = 5
 _PAGERANK_DAMPING = 85  # percent
 _PAGERANK_SCALE = 10**12
+# The full sf0.01 cooc graph is COMPLETE (12 nodes, all pairwise) — on it
+# PageRank is uniform and every neighborhood fully clustered, which would
+# make those entries vacuous (caught by test_contract_structure). The
+# support-thresholded subgraph has degree spread 2..11 with partial
+# clustering, so ranks/counts discriminate a broken loop.
+_COOC_MIN_SUPPORT = 318
 
 
 def q_kg_pagerank(spark, sf):
-    """Entity-salience PageRank over the co-occurrence graph (the iterative-
-    DataFrame-join analogue of kg_connected_components, linking.pagerank):
-    integer-exact arithmetic makes the distributed loop value-checkable
-    against a DuckDB oracle with the iterations unrolled as chained CTEs
-    generated from the same constants."""
+    """Entity-salience PageRank over the support-thresholded co-occurrence
+    graph (the iterative-DataFrame-join analogue of kg_connected_components,
+    linking.pagerank): integer-exact arithmetic makes the distributed loop
+    value-checkable against a DuckDB oracle with the iterations unrolled as
+    chained CTEs generated from the same constants."""
     from .operators.linking import pagerank
 
-    t = q_kg_cooccurrence(spark, sf)
+    t = q_kg_cooccurrence(spark, sf).filter(
+        F.col("support") >= _COOC_MIN_SUPPORT)
     return pagerank(
         t.select(F.col("head").alias("src"), F.col("tail").alias("dst")),
         n_iter=_PAGERANK_ITERS, damping_pct=_PAGERANK_DAMPING,
@@ -935,7 +942,8 @@ def q_kg_triangles(spark, sf):
     oracle replays the identical orientation and (2e6*T) // (deg*(deg-1))."""
     from .operators.linking import triangle_counts
 
-    t = q_kg_cooccurrence(spark, sf)
+    t = q_kg_cooccurrence(spark, sf).filter(
+        F.col("support") >= _COOC_MIN_SUPPORT)
     return triangle_counts(
         t.select(F.col("head").alias("src"), F.col("tail").alias("dst")))
 
@@ -2083,8 +2091,10 @@ def _pagerank_oracle_sql(
     sql = _COOC_CTE + f"""
         , sym as (
           select head as u, tail as v from cooc
+            where support >= {_COOC_MIN_SUPPORT}
           union
           select tail as u, head as v from cooc
+            where support >= {_COOC_MIN_SUPPORT}
         ), deg as (
           select u, count(*) as deg from sym group by u
         ), cst as (
@@ -2200,10 +2210,10 @@ ORACLE_SQL["kg_khop"] = _COOC_CTE + f"""
     select member, cast(min(dist) as bigint) as dist
     from reach group by member"""
 
-ORACLE_SQL["kg_triangles"] = _COOC_CTE + """
+ORACLE_SQL["kg_triangles"] = _COOC_CTE + f"""
     , e as (
       select distinct least(head, tail) as u, greatest(head, tail) as v
-      from cooc where head <> tail
+      from cooc where head <> tail and support >= {_COOC_MIN_SUPPORT}
     ), degs as (
       select member, count(*) as degree from (
         select u as member from e union all select v from e

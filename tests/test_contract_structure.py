@@ -83,3 +83,67 @@ def test_lm_unigram_score_oov_binds_and_buckets_nondegenerate(con):
     rows = con.execute(ORACLE_SQL["lm_unigram_score"]).fetchall()
     buckets = {r[3] for r in rows}
     assert buckets == {"head", "middle", "tail"}, buckets
+
+
+def test_kg_pagerank_oracle_discriminates(con):
+    """Ranks must spread: a degenerate graph (regular/complete) gives every
+    node the same rank and the entry stops discriminating a broken loop.
+    Also pins mass conservation in the fixed-point convention."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    rows = con.execute(ORACLE_SQL["kg_pagerank"]).fetchall()
+    assert rows, "pagerank oracle returned no members"
+    ranks = [r[1] for r in rows]
+    assert len(set(ranks)) >= 3, f"degenerate rank spread: {sorted(set(ranks))}"
+    total, n = sum(ranks), len(ranks)
+    assert total <= 10**12
+    assert total >= 10**12 - 2 * 5 * n * 100 - n  # truncation-loss bound
+
+
+def test_kg_triangles_oracle_discriminates(con):
+    """Needs nodes WITH and WITHOUT full clustering, and at least one
+    triangle — else the wedge/closing machinery is untested."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    rows = con.execute(ORACLE_SQL["kg_triangles"]).fetchall()
+    assert rows
+    tri = [r[2] for r in rows]
+    coef = [r[3] for r in rows]
+    assert max(tri) > 0, "no triangles in the fixture graph"
+    assert len(set(tri)) >= 2, "triangle counts do not discriminate"
+    assert any(c < 1_000_000 for c in coef), "every node fully clustered"
+    # handshake-style consistency: per-node totals count each triangle 3x
+    assert sum(tri) % 3 == 0
+
+
+def test_kg_khop_oracle_has_depth(con):
+    """The BFS entry must exercise depth: >= 2 distinct nonzero distances,
+    otherwise a broken frontier loop that only does 1 hop still matches."""
+    from knowledge_graph_studio_spark.driver_contract import (
+        _KHOP_MAX, _KHOP_SEEDS, ORACLE_SQL)
+
+    rows = con.execute(ORACLE_SQL["kg_khop"]).fetchall()
+    dist = {m: d for m, d in rows}
+    assert all(dist[s] == 0 for s in _KHOP_SEEDS)
+    nonzero = sorted({d for d in dist.values() if d > 0})
+    assert len(nonzero) >= 2, f"no multi-hop structure: {nonzero}"
+    assert max(nonzero) <= _KHOP_MAX
+
+
+def test_bm25_oracle_selects_and_spreads(con):
+    """Top-k must be a strict SELECTION (more matching docs than k) with a
+    real score spread — a scorer returning a constant would still hash-match
+    if the fixture didn't discriminate."""
+    from knowledge_graph_studio_spark.driver_contract import (
+        _BM25_K, _BM25_QUERY, ORACLE_SQL)
+
+    rows = con.execute(ORACLE_SQL["bm25_topk"]).fetchall()
+    assert len(rows) == _BM25_K
+    scores = [r[1] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(set(scores)) >= 3, f"degenerate score spread: {set(scores)}"
+    terms = [t for t in _BM25_QUERY.split()]
+    matching = con.execute(
+        "select count(*) from documents where "
+        + " or ".join(f"text like '%{t}%'" for t in terms)).fetchone()[0]
+    assert matching > _BM25_K, "top-k is not a selection at this fixture"
