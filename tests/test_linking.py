@@ -469,3 +469,28 @@ def test_triangle_counts_known_shapes(spark):
         spark.createDataFrame(path, ["src", "dst"])).collect()
     assert all(r["triangles"] == 0 and r["clustering_x1e6"] == 0
                for r in rows)
+
+
+def test_integer_graph_ops_partitioning_invariant(spark):
+    """The bit-reproducibility claim: pagerank and triangle_counts are pure
+    int64 arithmetic, so the SAME edges at different partitionings and row
+    orders give IDENTICAL outputs (no float accumulation-order exposure)."""
+    import random
+
+    from knowledge_graph_studio_spark.operators.linking import (
+        pagerank, triangle_counts)
+
+    random.seed(23)
+    names = [f"g{i}" for i in range(30)]
+    edges = sorted({tuple(sorted(random.sample(names, 2)))
+                    for _ in range(80)})
+    shuffled = list(edges)
+    random.shuffle(shuffled)
+    a = spark.createDataFrame(edges, ["src", "dst"]).repartition(1)
+    c = spark.createDataFrame(shuffled, ["src", "dst"]).repartition(13)
+    pr_a = sorted(map(tuple, pagerank(a).collect()))
+    pr_c = sorted(map(tuple, pagerank(c).collect()))
+    assert pr_a == pr_c
+    tr_a = sorted(map(tuple, triangle_counts(a).collect()))
+    tr_c = sorted(map(tuple, triangle_counts(c).collect()))
+    assert tr_a == tr_c
