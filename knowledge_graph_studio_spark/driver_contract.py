@@ -935,6 +935,21 @@ def q_kg_pagerank(spark, sf):
         scale=_PAGERANK_SCALE)
 
 
+def q_kg_pagerank_weighted(spark, sf):
+    """Support-weighted PageRank over the FULL co-occurrence graph: the
+    topology is complete (uniform unweighted ranks — see _COOC_MIN_SUPPORT),
+    so every rank difference here is produced by the weight splitting alone,
+    making this the discriminating test of the weighted mass division."""
+    from .operators.linking import pagerank
+
+    t = q_kg_cooccurrence(spark, sf)
+    return pagerank(
+        t.select(F.col("head").alias("src"), F.col("tail").alias("dst"),
+                 "support"),
+        n_iter=_PAGERANK_ITERS, damping_pct=_PAGERANK_DAMPING,
+        scale=_PAGERANK_SCALE, weight_col="support")
+
+
 def q_kg_triangles(spark, sf):
     """Per-node triangle count + local clustering coefficient over the
     co-occurrence graph (linking.triangle_counts: degree-ordered orientation
@@ -1588,6 +1603,7 @@ QUERIES: dict[str, _T] = {
     "kg_node_degree": q_kg_node_degree,
     "kg_connected_components": q_kg_connected_components,
     "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_triangles": q_kg_triangles,
     "kg_khop": q_kg_khop,
     "compress_triples": q_compress_triples,
@@ -2126,6 +2142,55 @@ def _pagerank_oracle_sql(
 
 
 ORACLE_SQL["kg_pagerank"] = _pagerank_oracle_sql()
+
+
+def _pagerank_weighted_oracle_sql(
+    n_iter: int = _PAGERANK_ITERS,
+    damping: int = _PAGERANK_DAMPING,
+    scale: int = _PAGERANK_SCALE,
+) -> str:
+    """kg_pagerank_weighted oracle: the weighted recurrence
+    base + (damping * sum((rank * w) // wsum)) // 100 unrolled, identical
+    int64 order to linking.pagerank(weight_col=...)."""
+    sql = _COOC_CTE + f"""
+        , symw as (
+          select head as u, tail as v, cast(support as bigint) as w from cooc
+          union all
+          select tail as u, head as v, cast(support as bigint) as w from cooc
+        ), sym as (
+          select u, v, cast(sum(w) as bigint) as w from symw group by u, v
+        ), wsum as (
+          select u, cast(sum(w) as bigint) as wsum from sym group by u
+        ), cst as (
+          select cast({scale} // count(*) as bigint) as init,
+                 cast((({scale} // count(*)) * {100 - damping}) // 100
+                      as bigint) as base
+          from wsum
+        ), oe as (
+          select sym.u, sym.v, sym.w, wsum.wsum
+          from sym join wsum on wsum.u = sym.u
+        ), s0 as (
+          select u as member, cst.init as "rank" from wsum cross join cst
+        )"""
+    for i in range(1, n_iter + 1):
+        sql += f"""
+        , c{i} as (
+          select oe.v as member,
+                 cast(sum((r."rank" * oe.w) // oe.wsum) as bigint) as s
+          from oe join s{i - 1} r on oe.u = r.member
+          group by oe.v
+        ), s{i} as (
+          select d.u as member,
+                 cast(cst.base + ({damping} * coalesce(c.s, 0)) // 100
+                      as bigint) as "rank"
+          from wsum d cross join cst
+          left join c{i} c on c.member = d.u
+        )"""
+    return sql + f"""
+        select member, "rank" from s{n_iter}"""
+
+
+ORACLE_SQL["kg_pagerank_weighted"] = _pagerank_weighted_oracle_sql()
 
 
 def _bm25_oracle_sql(

@@ -263,6 +263,7 @@ def pagerank(
     n_iter: int = 5,
     damping_pct: int = 85,
     scale: int = 10**12,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Entity-salience PageRank over an undirected (symmetrized) graph ->
     (member, rank). The ranking analogue of :func:`connected_components` for
@@ -271,32 +272,52 @@ def pagerank(
     studio reports for 'most central entities').
 
     EXACT int64 arithmetic throughout — rank starts at scale//n and each
-    round computes ``base + (damping_pct * sum(rank div deg)) div 100`` with
-    integer division — so the result is bit-reproducible across engines and
-    partitionings (int64 sums are associative/commutative; no float
-    accumulation order sensitivity), which is what lets the driver contract
-    oracle-pair it against DuckDB. Truncation loss per round is < n_nodes
-    ulps of the scale, deterministic.
+    round computes ``base + (damping_pct * sum((rank * w) div wsum)) div
+    100`` with integer division — so the result is bit-reproducible across
+    engines and partitionings (int64 sums are associative/commutative; no
+    float accumulation order sensitivity), which is what lets the driver
+    contract oracle-pair it against DuckDB. Truncation loss per round is
+    < n_nodes ulps of the scale, deterministic.
+
+    ``weight_col`` (integer weights, e.g. co-occurrence support) splits a
+    node's outgoing mass proportionally to edge weight instead of equally;
+    weights must satisfy w * scale < 2^63 (w <= ~9e6 at the default scale).
+    Unweighted (w = 1, wsum = degree) reduces to the classic formula
+    value-for-value: (rank * 1) div deg == rank div deg.
 
     Scale shape: one shuffle per iteration (join on member id + groupBy on
     the destination), the same skew profile as connected_components — the
     join key is the member, not the component, and AQE skew-join covers hot
-    entities. The degree-annotated edge table is checkpointed once and
+    entities. The weight-annotated edge table is checkpointed once and
     reused every round; ranks are checkpointed per round to truncate
     lineage. Symmetrization means every node has out-degree >= 1, so there
     is no dangling-mass redistribution term."""
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint()
-    )
-    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
-    # (u, v, deg(u)) reused by every iteration: checkpoint once. Lazy —
+    if weight_col is None:
+        sym = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .distinct()
+            .select("u", "v", F.lit(1).cast("long").alias("w"))
+            .localCheckpoint()
+        )
+    else:
+        w = F.col(weight_col).cast("long")
+        sym = (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                         w.alias("w"))
+            .union(edges.select(F.col(dst).alias("u"),
+                                F.col(src).alias("v"), w.alias("w")))
+            # duplicate (u, v) observations fold by weight-sum
+            .groupBy("u", "v").agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+    wsum = sym.groupBy("u").agg(F.sum("w").alias("wsum"))
+    # (u, v, w, wsum(u)) reused by every iteration: checkpoint once. Lazy —
     # materializes inside iteration 1's job rather than as its own job
     # (sym above is the eager one: it is read twice in a single job).
-    out_edges = sym.join(deg, "u").localCheckpoint(eager=False)
-    nodes = deg.select(F.col("u").alias("member")).localCheckpoint(eager=False)
+    out_edges = sym.join(wsum, "u").localCheckpoint(eager=False)
+    nodes = wsum.select(F.col("u").alias("member")) \
+        .localCheckpoint(eager=False)
     n = nodes.count()  # bounded scalar probe (node count; seals nodes)
     if n == 0:
         return nodes.select(
@@ -308,7 +329,7 @@ def pagerank(
         contrib = (
             out_edges.join(rank, out_edges["u"] == rank["member"])
             .select(F.col("v").alias("member"),
-                    F.expr("rank div deg").alias("c"))
+                    F.expr("(rank * w) div wsum").alias("c"))
             .groupBy("member").agg(F.sum("c").alias("s"))
         )
         rank = (

@@ -147,3 +147,15 @@ def test_bm25_oracle_selects_and_spreads(con):
         "select count(*) from documents where "
         + " or ".join(f"text like '%{t}%'" for t in terms)).fetchone()[0]
     assert matching > _BM25_K, "top-k is not a selection at this fixture"
+
+
+def test_kg_pagerank_weighted_oracle_discriminates(con):
+    """On the COMPLETE cooc graph the unweighted ranks are uniform; the
+    weighted entry must spread — proving the weight division (not the
+    topology) is what the entry checks."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    rows = con.execute(ORACLE_SQL["kg_pagerank_weighted"]).fetchall()
+    assert rows
+    ranks = [r[1] for r in rows]
+    assert len(set(ranks)) >= 3, f"weights did not spread: {sorted(set(ranks))}"

@@ -494,3 +494,45 @@ def test_integer_graph_ops_partitioning_invariant(spark):
     tr_a = sorted(map(tuple, triangle_counts(a).collect()))
     tr_c = sorted(map(tuple, triangle_counts(c).collect()))
     assert tr_a == tr_c
+
+
+def test_pagerank_weighted_matches_reference_and_reduces(spark):
+    from collections import defaultdict
+
+    from knowledge_graph_studio_spark.operators.linking import pagerank
+
+    rows = [("a", "b", 10), ("b", "c", 1), ("a", "c", 5), ("c", "d", 3)]
+    df = spark.createDataFrame(rows, ["src", "dst", "w"])
+    got = {r["member"]: r["rank"]
+           for r in pagerank(df, weight_col="w").collect()}
+
+    # pure-Python re-derivation of the weighted integer recurrence
+    sym = defaultdict(int)
+    for a, b, w in rows:
+        sym[(a, b)] += w
+        sym[(b, a)] += w
+    wsum = defaultdict(int)
+    for (u, _), w in sym.items():
+        wsum[u] += w
+    nodes = sorted(wsum)
+    n = len(nodes)
+    init = 10**12 // n
+    base = init * 15 // 100
+    rank = {u: init for u in nodes}
+    for _ in range(5):
+        recv = defaultdict(int)
+        for (u, v), w in sym.items():
+            recv[v] += (rank[u] * w) // wsum[u]
+        rank = {u: base + (85 * recv.get(u, 0)) // 100 for u in nodes}
+    assert got == rank
+    # a sees most of the mass (heaviest incident weights)
+    assert max(got, key=got.get) == "a"
+
+    # w = 1 on every edge reduces to the unweighted operator exactly
+    ones = spark.createDataFrame(
+        [(a, b, 1) for a, b, _ in rows], ["src", "dst", "w"])
+    unw = spark.createDataFrame(
+        [(a, b) for a, b, _ in rows], ["src", "dst"])
+    a_ = sorted(map(tuple, pagerank(ones, weight_col="w").collect()))
+    b_ = sorted(map(tuple, pagerank(unw).collect()))
+    assert a_ == b_
