@@ -988,6 +988,42 @@ def q_kg_khop(spark, sf):
     return khop_distances(nearest, _KHOP_SEEDS, max_hops=_KHOP_MAX)
 
 
+# graph_diff fixture: two thresholded cooc graphs over disjoint doc windows
+# — chosen (probed in DuckDB) so the diff exercises added AND removed AND
+# changed on both nodes and edges (window, window_end, min_support)
+_DIFF_OLD = (0, 8, 6)
+_DIFF_NEW = (8, 16, 7)
+
+
+def q_kg_graph_diff(spark, sf):
+    """Versioned-graph changelog (plans/admin.graph_diff -> table_diff): one
+    full-outer key join + null-safe column comparison per table, emitting
+    only the delta (added/removed/changed). The audit companion of
+    pipeline.update_graph_incremental's committed versions."""
+    from .plans.admin import graph_diff
+
+    m = _mentions(spark, sf)
+
+    def side(lo, hi, minsup):
+        mm = m.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        a = mm.select("doc_id", F.col("term").alias("head"))
+        b = mm.select("doc_id", F.col("term").alias("tail"))
+        e = (a.join(b, "doc_id").filter(F.col("head") < F.col("tail"))
+             .groupBy("head", "tail").agg(F.count("*").alias("support"))
+             .filter(F.col("support") >= minsup))
+        ends = e.select(F.col("head").alias("name"), "support").union(
+            e.select(F.col("tail").alias("name"), "support"))
+        nd = ends.groupBy("name").agg(
+            F.count("*").alias("degree"),
+            F.sum("support").alias("support_sum"))
+        return nd, e
+
+    on, oe = side(*_DIFF_OLD)
+    nn, ne = side(*_DIFF_NEW)
+    return graph_diff(on, nn, oe, ne,
+                      node_keys=["name"], edge_keys=["head", "tail"])
+
+
 def q_kg_node_degree(spark, sf):
     """L2-analog node table over the co-occurrence graph: degree + support."""
     t = q_kg_cooccurrence(spark, sf)
@@ -1606,6 +1642,7 @@ QUERIES: dict[str, _T] = {
     "kg_pagerank_weighted": q_kg_pagerank_weighted,
     "kg_triangles": q_kg_triangles,
     "kg_khop": q_kg_khop,
+    "kg_graph_diff": q_kg_graph_diff,
     "compress_triples": q_compress_triples,
     "kg_verbalize": q_kg_verbalize,
     "kg_triple_topk": q_kg_triple_topk,
@@ -2191,6 +2228,64 @@ def _pagerank_weighted_oracle_sql(
 
 
 ORACLE_SQL["kg_pagerank_weighted"] = _pagerank_weighted_oracle_sql()
+
+
+def _graph_diff_oracle_sql() -> str:
+    """kg_graph_diff oracle: both thresholded window graphs + node tables,
+    full-outer joins with IS DISTINCT FROM comparisons, delta rows only —
+    generated from the same window/threshold constants as the Spark side."""
+    (olo, ohi, ot), (nlo, nhi, nt) = _DIFF_OLD, _DIFF_NEW
+    return _MENTIONS_CTE + f"""
+    , oldm as (
+      select * from mentions where doc_id >= {olo} and doc_id < {ohi}
+    ), newm as (
+      select * from mentions where doc_id >= {nlo} and doc_id < {nhi}
+    ), olde as (
+      select a.term as head, b.term as tail, count(*) as support
+      from oldm a join oldm b on a.doc_id = b.doc_id and a.term < b.term
+      group by a.term, b.term having count(*) >= {ot}
+    ), newe as (
+      select a.term as head, b.term as tail, count(*) as support
+      from newm a join newm b on a.doc_id = b.doc_id and a.term < b.term
+      group by a.term, b.term having count(*) >= {nt}
+    ), oldn as (
+      select name, count(*) as degree,
+             cast(sum(support) as bigint) as support_sum
+      from (select head as name, support from olde
+            union all select tail as name, support from olde)
+      group by name
+    ), newn as (
+      select name, count(*) as degree,
+             cast(sum(support) as bigint) as support_sum
+      from (select head as name, support from newe
+            union all select tail as name, support from newe)
+      group by name
+    ), ndiff as (
+      select 'node' as kind,
+             case when o.name is null then 'added'
+                  when n.name is null then 'removed'
+                  when o.degree is distinct from n.degree
+                    or o.support_sum is distinct from n.support_sum
+                    then 'changed' end as change,
+             coalesce(n.name, o.name) as key
+      from newn n full outer join oldn o on n.name = o.name
+    ), ediff as (
+      select 'edge' as kind,
+             case when o.head is null then 'added'
+                  when n.head is null then 'removed'
+                  when o.support is distinct from n.support
+                    then 'changed' end as change,
+             concat_ws('|', coalesce(n.head, o.head),
+                            coalesce(n.tail, o.tail)) as key
+      from newe n full outer join olde o
+        on n.head = o.head and n.tail = o.tail
+    )
+    select kind, change, key from (
+      select * from ndiff union all select * from ediff
+    ) where change is not null"""
+
+
+ORACLE_SQL["kg_graph_diff"] = _graph_diff_oracle_sql()
 
 
 def _bm25_oracle_sql(

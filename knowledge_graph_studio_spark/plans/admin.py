@@ -70,3 +70,72 @@ def unassign_chunks(
                F.array_except("chunks", removes))
         .otherwise(F.col("chunks")),
     )
+
+
+def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level diff between two versions of a table -> (change, *keys)
+    with change in added | removed | changed. The audit companion of the
+    versioned node/edge tables `pipeline.update_graph_incremental` commits:
+    "what did this crawl delta do to the graph" as one query.
+
+    Keys identify a row; every other shared column is compared with
+    null-safe equality, so a row counts as `changed` when ANY non-key
+    column differs (arrays and structs compare structurally). Unchanged
+    rows are dropped — the diff is proportional to the delta, not the
+    table.
+
+    Scale shape: ONE full-outer shuffle join on the key columns and a
+    codegen'd comparison projection — no collect, no window; at 10^12 rows
+    this is the same cost class as the upsert that produced the new
+    version. AQE handles skewed keys."""
+    cmp_cols = [c for c in new.columns if c not in keys and c in old.columns]
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in keys],
+        *[F.col(c).alias(f"_oc_{c}") for c in cmp_cols])
+    nw = new.select(
+        *keys, *[F.col(c).alias(f"_nc_{c}") for c in cmp_cols])
+    cond = None
+    for k in keys:
+        eq = nw[k].eqNullSafe(o[f"_o_{k}"])
+        cond = eq if cond is None else (cond & eq)
+    j = nw.join(o, cond, "full_outer")
+    differs = F.lit(False)
+    for c in cmp_cols:
+        differs = differs | ~F.col(f"_nc_{c}").eqNullSafe(F.col(f"_oc_{c}"))
+    # presence tests: a side is absent when ALL its key columns are null
+    # (keys are non-null in real tables; eqNullSafe join keeps them intact)
+    old_absent = None
+    new_absent = None
+    for k in keys:
+        oa = o[f"_o_{k}"].isNull()
+        na = nw[k].isNull()
+        old_absent = oa if old_absent is None else (old_absent & oa)
+        new_absent = na if new_absent is None else (new_absent & na)
+    change = (
+        F.when(old_absent, F.lit("added"))
+        .when(new_absent, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    out_keys = [F.coalesce(nw[k], o[f"_o_{k}"]).alias(k) for k in keys]
+    return (
+        j.select(change.alias("change"), *out_keys)
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def graph_diff(
+    old_nodes: DataFrame, new_nodes: DataFrame,
+    old_edges: DataFrame, new_edges: DataFrame,
+    node_keys: list[str] = ("name", "type"),
+    edge_keys: list[str] = ("head", "rel_type", "tail"),
+) -> DataFrame:
+    """Combined node+edge diff -> (kind, change, key) with key the
+    '|'-joined identity — the one-query changelog between two committed
+    graph versions."""
+    nd = table_diff(old_nodes, new_nodes, list(node_keys)).select(
+        F.lit("node").alias("kind"), "change",
+        F.concat_ws("|", *node_keys).alias("key"))
+    ed = table_diff(old_edges, new_edges, list(edge_keys)).select(
+        F.lit("edge").alias("kind"), "change",
+        F.concat_ws("|", *edge_keys).alias("key"))
+    return nd.union(ed)

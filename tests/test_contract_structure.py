@@ -159,3 +159,19 @@ def test_kg_pagerank_weighted_oracle_discriminates(con):
     assert rows
     ranks = [r[1] for r in rows]
     assert len(set(ranks)) >= 3, f"weights did not spread: {sorted(set(ranks))}"
+
+
+def test_kg_graph_diff_oracle_exercises_all_changes(con):
+    """The diff entry must produce added AND removed AND changed rows for
+    BOTH kinds — otherwise a table_diff that, say, never emits `removed`
+    would still hash-match."""
+    from knowledge_graph_studio_spark.driver_contract import ORACLE_SQL
+
+    rows = con.execute(ORACLE_SQL["kg_graph_diff"]).fetchall()
+    seen = {(k, c) for k, c, _ in rows}
+    need = {(k, c) for k in ("node", "edge")
+            for c in ("added", "removed", "changed")}
+    missing = need - seen
+    # the node side has no `removed` only if every old node survives; the
+    # probed fixture (windows [0,8) vs [8,16), thresholds 6/7) has all six
+    assert not missing, f"diff fixture does not exercise: {missing}"
