@@ -835,6 +835,9 @@ _BM25_QUERY = "fast hash join spark merge"
 _BM25_K = 15
 _BM25_K1 = 1.2
 _BM25_B = 0.75
+_RRF_K0 = 60
+_RRF_POOL = 50
+_RRF_K = 10
 
 
 def q_bm25_topk(spark, sf):
@@ -846,6 +849,31 @@ def q_bm25_topk(spark, sf):
 
     return bm25_topk(_read(spark, sf, "documents"), _BM25_QUERY,
                      k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+def q_hybrid_rrf_topk(spark, sf):
+    """Hybrid retrieval: reciprocal-rank fusion (plans/query.rrf_fuse) of
+    the BM25 lexical top-50 and the exact-cosine vector top-50 (the
+    topk_cosine derivation, vec_id 0 as the query; vec_id aligns with
+    doc_id in the fixture). Integer contributions 1e6 div (k0+rank), so
+    the fused scores oracle-pair exactly."""
+    from .plans.query import bm25_topk, rrf_fuse
+
+    d = _read(spark, sf, "documents")
+    lex = bm25_topk(d, _BM25_QUERY, k=_RRF_POOL, k1=_BM25_K1, b=_BM25_B)
+    wl = Window.orderBy(F.desc("score_x1e6"), F.asc("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
+
+    e = _read(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        _cosine(F.col("embedding"), F.col("qvec")).alias("score"))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_RRF_POOL)
+    wv = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    vecr = top.select("doc_id", F.row_number().over(wv).alias("rank"))
+
+    return rrf_fuse([lexr, vecr], k0=_RRF_K0, k=_RRF_K, id_col="doc_id")
 
 
 # --------------------------------------------------------------------------- #
@@ -1633,6 +1661,7 @@ QUERIES: dict[str, _T] = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "bm25_topk": q_bm25_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2288,16 +2317,17 @@ def _graph_diff_oracle_sql() -> str:
 ORACLE_SQL["kg_graph_diff"] = _graph_diff_oracle_sql()
 
 
-def _bm25_oracle_sql(
-    query: str = _BM25_QUERY, k: int = _BM25_K,
-    k1: float = _BM25_K1, b: float = _BM25_B,
+def _bm25_scored_cte(
+    query: str = _BM25_QUERY, k1: float = _BM25_K1, b: float = _BM25_B,
 ) -> str:
-    """bm25_topk oracle: identical formula, identical fixed-point floor
-    BEFORE the sum. Every float constant is interpolated via repr() so both
-    engines parse the same shortest-round-trip literal; mixed decimal/double
-    promotion in DuckDB lands on the same doubles because each decimal
-    constant converts correctly-rounded. Only ln's last ulp could diverge
-    (the lm_unigram_score exposure)."""
+    """The BM25 oracle's CTE chain up to per-doc integer scores (table
+    `scoreagg`: doc_id, score_x1e6) — shared by the bm25_topk oracle and the
+    hybrid RRF fusion oracle. Identical formula, identical fixed-point floor
+    BEFORE the sum as the Spark side. Every float constant is interpolated
+    via repr() so both engines parse the same shortest-round-trip literal;
+    mixed decimal/double promotion in DuckDB lands on the same doubles
+    because each decimal constant converts correctly-rounded. Only ln's
+    last ulp could diverge (the lm_unigram_score exposure)."""
     import re as _re
 
     terms = sorted(set(_re.findall(r"[a-z0-9]+", query.lower())))
@@ -2334,14 +2364,60 @@ def _bm25_oracle_sql(
                        / (cast(s.sumdl as double) / cast(s.n as double))))
              ) as bigint) as c
       from tfs t join dfs f using (term) cross join stats s
-    )
-    select doc_id, cast(sum(c) as bigint) as score_x1e6
-    from scored group by doc_id
+    ), scoreagg as (
+      select doc_id, cast(sum(c) as bigint) as score_x1e6
+      from scored group by doc_id
+    )"""
+
+
+def _bm25_oracle_sql(k: int = _BM25_K) -> str:
+    return _bm25_scored_cte() + f"""
+    select doc_id, score_x1e6 from scoreagg
     order by score_x1e6 desc, doc_id
     limit {k}"""
 
 
 ORACLE_SQL["bm25_topk"] = _bm25_oracle_sql()
+
+
+def _hybrid_rrf_oracle_sql(
+    k0: int = _RRF_K0, pool: int = _RRF_POOL, k: int = _RRF_K,
+) -> str:
+    """hybrid_rrf_topk oracle: BM25 scoreagg CTE (shared constants) +
+    the topk_cosine ordering, each ranked by row_number over the identical
+    (score desc, id) order, fused with the same integer contribution."""
+    return _bm25_scored_cte() + f"""
+    , lexr as (
+      select doc_id,
+             row_number() over (order by score_x1e6 desc, doc_id) as rank
+      from scoreagg
+      order by score_x1e6 desc, doc_id
+      limit {pool}
+    ), qv as (
+      select embedding::DOUBLE[] as qvec from embeddings where vec_id = 0
+    ), vtop as (
+      select vec_id as doc_id,
+             list_cosine_similarity(embedding::DOUBLE[], qvec) as score
+      from embeddings, qv
+      where vec_id <> 0
+      order by score desc, vec_id asc
+      limit {pool}
+    ), vecr as (
+      select doc_id,
+             row_number() over (order by score desc, doc_id) as rank
+      from vtop
+    ), contrib as (
+      select doc_id, 1000000 // ({k0} + rank) as c from lexr
+      union all
+      select doc_id, 1000000 // ({k0} + rank) as c from vecr
+    )
+    select doc_id, cast(sum(c) as bigint) as rrf_x1e6
+    from contrib group by doc_id
+    order by rrf_x1e6 desc, doc_id
+    limit {k}"""
+
+
+ORACLE_SQL["hybrid_rrf_topk"] = _hybrid_rrf_oracle_sql()
 
 ORACLE_SQL["kg_khop"] = _COOC_CTE + f"""
     , sym as (

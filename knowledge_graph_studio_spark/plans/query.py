@@ -485,6 +485,42 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings -> (id_col, rrf_x1e6) top-k —
+    the standard hybrid-retrieval combiner (lexical BM25 + vector cosine,
+    or any mix). Each input carries (id_col, rank) with rank 1-based.
+
+    The contribution is the fixed-point floor ``1e6 div (k0 + rank)`` —
+    all-integer, so the fused sum is exact and order-free (oracle-pairable
+    and partition-invariant), a faithful quantization of the textbook RRF
+    1/(k0+rank): ranks are small integers, so distinct ranks map to
+    distinct quantized contributions for k0+rank <= ~1414.
+
+    Scale shape: each input is already a bounded top-N (the expensive part
+    — BM25 scan, ANN probe — happened upstream); fusion is a union of tiny
+    frames + one groupBy + TakeOrderedAndProject. An id absent from one
+    ranking simply contributes nothing (standard RRF)."""
+    from functools import reduce
+
+    contribs = [
+        r.select(F.col(id_col),
+                 F.expr(f"1000000 div ({k0} + rank)").alias("_c"))
+        for r in rankings
+    ]
+    allc = reduce(lambda a, b: a.union(b), contribs)
+    return (
+        allc.groupBy(id_col)
+        .agg(F.sum("_c").cast("long").alias("rrf_x1e6"))
+        .orderBy(F.desc("rrf_x1e6"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Q14 — answer synthesis stub (deterministic; same interface)
 # --------------------------------------------------------------------------- #

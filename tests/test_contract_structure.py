@@ -175,3 +175,18 @@ def test_kg_graph_diff_oracle_exercises_all_changes(con):
     # the node side has no `removed` only if every old node survives; the
     # probed fixture (windows [0,8) vs [8,16), thresholds 6/7) has all six
     assert not missing, f"diff fixture does not exercise: {missing}"
+
+
+def test_hybrid_rrf_oracle_mixes_both_sides(con):
+    """The fusion entry must draw on BOTH rankings: its top-k has to
+    contain a doc promoted by the vector side that the BM25 top-k alone
+    does not surface (and vice versa is allowed) — otherwise the entry
+    degenerates to re-testing bm25_topk."""
+    from knowledge_graph_studio_spark.driver_contract import (
+        _BM25_K, ORACLE_SQL, _bm25_oracle_sql)
+
+    fused = [r[0] for r in con.execute(ORACLE_SQL["hybrid_rrf_topk"]).fetchall()]
+    lex_only = [r[0] for r in con.execute(_bm25_oracle_sql(k=len(fused))).fetchall()]
+    assert fused != lex_only, "fusion output identical to lexical ranking"
+    assert set(fused) - set(lex_only), \
+        "no vector-promoted doc in the fused top-k"

@@ -475,3 +475,37 @@ def test_khop_early_stop_and_isolated_seed(spark):
     got2 = {r["member"]: r["dist"]
             for r in khop_distances(df, ["zz"], max_hops=2).collect()}
     assert got2 == {"zz": 0}
+
+
+def test_rrf_fuse_matches_integer_reference(spark):
+    from knowledge_graph_studio_spark.plans.query import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 4)], "doc_id long, rank long")
+    vec = spark.createDataFrame(
+        [(3, 1), (5, 2), (1, 3)], "doc_id long, rank long")
+    got = [(r["doc_id"], r["rrf_x1e6"])
+           for r in rrf_fuse([lex, vec], k0=60, k=10).collect()]
+
+    ref = {}
+    for ranking in ([(1, 1), (2, 2), (3, 3), (4, 4)], [(3, 1), (5, 2), (1, 3)]):
+        for i, rk in ranking:
+            ref[i] = ref.get(i, 0) + 1_000_000 // (60 + rk)
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+    # docs in BOTH rankings outrank single-list docs at comparable ranks
+    assert got[0][0] in (1, 3)
+
+
+def test_rrf_fuse_single_list_and_ties(spark):
+    from knowledge_graph_studio_spark.plans.query import rrf_fuse
+
+    one = spark.createDataFrame([(7, 1), (8, 2)], "doc_id long, rank long")
+    got = [(r["doc_id"], r["rrf_x1e6"])
+           for r in rrf_fuse([one], k0=60, k=5).collect()]
+    assert got == [(7, 1_000_000 // 61), (8, 1_000_000 // 62)]
+    # equal fused scores tie-break by id ascending
+    a = spark.createDataFrame([(9, 1)], "doc_id long, rank long")
+    b = spark.createDataFrame([(4, 1)], "doc_id long, rank long")
+    got2 = [r["doc_id"] for r in rrf_fuse([a, b], k0=60, k=5).collect()]
+    assert got2 == [4, 9]
