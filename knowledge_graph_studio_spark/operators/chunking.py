@@ -57,8 +57,13 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(run, schema=pages.schema)
 
 
-def pages_to_chunks(pages: DataFrame, max_chars: int = 1024) -> DataFrame:
-    """pages -> string chunks (one narrow stage; text derivation fused in)."""
+def pages_to_chunks(
+    pages: DataFrame, max_chars: int = 1024, overlap: int = 0,
+) -> DataFrame:
+    """pages -> string chunks (one narrow stage; text derivation fused in).
+    ``overlap`` is the reference's configurable chunk_overlap
+    (models/common.py:301) — consecutive chunks share that many chars;
+    chunk ids stay unique because they key on the exact start offset."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from knowledge_graph_studio_spark.textcore import (
@@ -71,7 +76,8 @@ def pages_to_chunks(pages: DataFrame, max_chars: int = 1024) -> DataFrame:
                 pdf["url"], pdf["html"], pdf["text"], pdf["lang"]
             ):
                 full = page_text(html, text)
-                for ch in split_text_into_chunks(full, max_chars=max_chars):
+                for ch in split_text_into_chunks(
+                        full, max_chars=max_chars, overlap=overlap):
                     rows.append(
                         (url, lang, "string", ch["content"], None,
                          ch["start"], ch["end"])

@@ -129,10 +129,22 @@ _BREAKS = ("\n\n", "\n", ". ", " ")
 
 
 def split_text_into_chunks(
-    text: str, max_chars: int = MAX_CHARS_PER_CHUNK, page_number: int | None = None
+    text: str, max_chars: int = MAX_CHARS_PER_CHUNK,
+    page_number: int | None = None, overlap: int = 0,
 ) -> list[dict[str, Any]]:
     """Greedy boundary-preferring splitter: break at the last paragraph /
-    newline / sentence / space boundary inside each ``max_chars`` window."""
+    newline / sentence / space boundary inside each ``max_chars`` window.
+
+    ``overlap`` is the reference's configurable ``chunk_overlap``
+    (models/common.py:301, utilities/processors.py:141; its CRUD path pins
+    0 at services/crud/chunks.py:203): each chunk after the first starts
+    ``overlap`` characters before the previous chunk's end, so consecutive
+    chunks share that many characters — the RAG-windowing shape. Offsets
+    stay exact (text[start:end] == content); forward progress is
+    guaranteed by requiring end > next start (overlap < max_chars
+    enforced)."""
+    if not 0 <= overlap < max_chars:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_chars")
     chunks: list[dict[str, Any]] = []
     n = len(text)
     loc = 0
@@ -153,7 +165,11 @@ def split_text_into_chunks(
         if page_number is not None:
             meta["page"] = page_number
         chunks.append({"content": text[loc:end], **meta})
-        loc = end
+        if end >= n:
+            break
+        # next window starts `overlap` chars back, but always past the
+        # previous start so the loop advances even at maximal overlap
+        loc = max(end - overlap, loc + 1)
     return chunks
 
 

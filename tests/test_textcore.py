@@ -112,3 +112,38 @@ def test_zeroshot_extraction_e3():
     assert not any(t["head"] == "Acme Corp" and t["tail"] == "Globex"
                    for t in got)
     assert extract_zeroshot_triples(text, gaz) == got  # deterministic
+
+
+def test_split_chunks_overlap_windows():
+    from knowledge_graph_studio_spark.textcore import split_text_into_chunks
+
+    text = "word " * 200  # 1000 chars
+    chunks = split_text_into_chunks(text.strip(), max_chars=100, overlap=20)
+    # exact offsets always hold
+    t = text.strip()
+    for ch in chunks:
+        assert t[ch["start"]:ch["end"]] == ch["content"]
+    # consecutive windows overlap by ~20 chars (boundary-adjusted, > 0)
+    for a, b in zip(chunks, chunks[1:]):
+        assert 0 < a["end"] - b["start"] <= 20
+    # full coverage: every position belongs to some chunk
+    covered = set()
+    for ch in chunks:
+        covered.update(range(ch["start"], ch["end"]))
+    assert covered == set(range(len(t)))
+    # overlap=0 reproduces the legacy exact partition
+    legacy = split_text_into_chunks(t, max_chars=100)
+    assert legacy == split_text_into_chunks(t, max_chars=100, overlap=0)
+    assert [c["start"] for c in legacy][1:] == [c["end"] for c in legacy][:-1]
+
+
+def test_split_chunks_overlap_bounds():
+    import pytest as _pytest
+
+    from knowledge_graph_studio_spark.textcore import split_text_into_chunks
+
+    with _pytest.raises(ValueError):
+        split_text_into_chunks("abc", max_chars=10, overlap=10)
+    # maximal legal overlap still terminates (forward-progress guard)
+    out = split_text_into_chunks("a" * 50, max_chars=10, overlap=9)
+    assert out[-1]["end"] == 50 and len(out) < 60
