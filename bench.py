@@ -57,6 +57,7 @@ HEADLINE = [
     "kg_pagerank",
     "kg_triangles",
     "bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 
