@@ -851,6 +851,19 @@ def q_bm25_topk(spark, sf):
                      k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
+_SNIPPET_WINDOW = 25
+
+
+def q_best_snippet(spark, sf):
+    """Snippet/highlight extraction (plans/query.best_snippet): the best
+    query-term window per document, all-integer argmax inside codegen'd
+    array expressions — zero shuffle, oracle-paired exactly."""
+    from .plans.query import best_snippet
+
+    return best_snippet(_read(spark, sf, "documents"), _BM25_QUERY,
+                        window=_SNIPPET_WINDOW)
+
+
 def q_hybrid_rrf_topk(spark, sf):
     """Hybrid retrieval: reciprocal-rank fusion (plans/query.rrf_fuse) of
     the BM25 lexical top-50 and the exact-cosine vector top-50 (the
@@ -1662,6 +1675,7 @@ QUERIES: dict[str, _T] = {
     "token_count": q_token_count,
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "best_snippet": q_best_snippet,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2418,6 +2432,47 @@ def _hybrid_rrf_oracle_sql(
 
 
 ORACLE_SQL["hybrid_rrf_topk"] = _hybrid_rrf_oracle_sql()
+
+
+def _best_snippet_oracle_sql(
+    query: str = _BM25_QUERY, window: int = _SNIPPET_WINDOW,
+) -> str:
+    """best_snippet oracle: every window scored by unnest(range(...)), the
+    argmax replayed as row_number over (hits desc, start asc). Inclusive
+    DuckDB list slicing toks[i:i+w-1] == Spark slice(toks, i, w)."""
+    import re as _re
+
+    terms = sorted(set(_re.findall(r"[a-z0-9]+", query.lower())))
+    tlist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""
+    with d as (
+      select doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') as toks
+      from documents
+    ), wnd as (
+      select doc_id, toks, least({window}, len(toks)) as w
+      from d where len(toks) > 0
+    ), cand as (
+      select doc_id, toks, w,
+             unnest(range(1, len(toks) - w + 2)) as i
+      from wnd
+    ), scored as (
+      select doc_id, toks, w, i,
+             len(list_filter(toks[i:i+w-1],
+                             x -> list_contains({tlist}, x))) as h
+      from cand
+    ), ranked as (
+      select doc_id, h, i, toks, w,
+             row_number() over (partition by doc_id
+                                order by h desc, i asc) as rk
+      from scored
+    )
+    select doc_id, cast(h as bigint) as n_hits, cast(i as bigint) as start_tok,
+           array_to_string(toks[i:i+w-1], ' ') as snippet
+    from ranked where rk = 1"""
+
+
+ORACLE_SQL["best_snippet"] = _best_snippet_oracle_sql()
 
 ORACLE_SQL["kg_khop"] = _COOC_CTE + f"""
     , sym as (

@@ -521,6 +521,58 @@ def rrf_fuse(
     )
 
 
+def best_snippet(
+    docs: DataFrame,
+    query: str,
+    window: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-matching token window per document for a query -> (id_col,
+    n_hits, start_tok, snippet): the highlight/snippet stage of a retrieval
+    stack (run it over bm25_topk/rrf_fuse winners). The chosen window
+    maximizes query-term occurrences; ties break to the EARLIEST window;
+    docs with zero hits keep their first window with n_hits = 0.
+
+    All-integer scoring over per-row array expressions — zero shuffle, zero
+    Python, O(tokens * window) per row inside codegen'd higher-order
+    functions — so a 100 TB scan stays embarrassingly parallel and the
+    operator oracle-pairs exactly (no float anywhere)."""
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    base = docs.select(F.col(id_col), toks.alias("_toks")).filter(
+        F.size("_toks") > 0)
+    hits = F.transform(
+        "_toks",
+        lambda t: F.when(F.array_contains(term_arr, t), F.lit(1))
+        .otherwise(F.lit(0)))
+    w = F.least(F.lit(window), F.size("_toks"))
+    starts = F.sequence(F.lit(1), F.size("_toks") - w + 1)
+    # per-window score, argmax by (hits, -start): array_max on structs is
+    # lexicographic, so max hits wins and among ties the SMALLEST start
+    # (largest negated start) wins
+    best = F.array_max(F.transform(
+        starts,
+        lambda i: F.struct(
+            F.aggregate(F.slice(F.col("_hits"), i, w), F.lit(0),
+                        lambda acc, x: acc + x).alias("h"),
+            (-i).alias("negstart"),
+        )))
+    return (
+        base.withColumn("_hits", hits)
+        .withColumn("_best", best)
+        .select(
+            id_col,
+            F.col("_best.h").cast("long").alias("n_hits"),
+            (-F.col("_best.negstart")).cast("long").alias("start_tok"),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), -F.col("_best.negstart"), w)
+            ).alias("snippet"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # Q14 — answer synthesis stub (deterministic; same interface)
 # --------------------------------------------------------------------------- #

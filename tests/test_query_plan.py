@@ -509,3 +509,29 @@ def test_rrf_fuse_single_list_and_ties(spark):
     b = spark.createDataFrame([(4, 1)], "doc_id long, rank long")
     got2 = [r["doc_id"] for r in rrf_fuse([a, b], k0=60, k=5).collect()]
     assert got2 == [4, 9]
+
+
+def test_best_snippet_picks_densest_window(spark):
+    from knowledge_graph_studio_spark.plans.query import best_snippet
+
+    filler = "filler " * 40
+    docs = spark.createDataFrame([
+        # dense cluster late in the doc: window must land on it
+        (1, filler + "spark hash spark join spark " + filler),
+        # zero hits: first window, n_hits 0
+        (2, "nothing relevant here at all " * 10),
+        # doc shorter than the window: whole doc is the window
+        (3, "tiny spark doc"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           best_snippet(docs, "spark hash join", window=8).collect()}
+    assert got[1]["n_hits"] == 5
+    assert "spark hash spark join spark" in got[1]["snippet"]
+    assert got[1]["start_tok"] > 30          # landed past the filler
+    assert got[2]["n_hits"] == 0 and got[2]["start_tok"] == 1
+    assert got[3]["n_hits"] == 1 and got[3]["snippet"] == "tiny spark doc"
+    # ties break earliest: two equal windows -> the first one
+    tie = spark.createDataFrame(
+        [(9, "spark a b c d e f g h spark")], "doc_id long, text string")
+    r = best_snippet(tie, "spark", window=3).collect()[0]
+    assert (r["n_hits"], r["start_tok"]) == (1, 1)
