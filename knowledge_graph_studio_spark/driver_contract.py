@@ -852,6 +852,20 @@ def q_bm25_topk(spark, sf):
 
 
 _SNIPPET_WINDOW = 25
+_QUANTILES_X100 = (50, 90, 99)
+
+
+def q_corpus_quantiles(spark, sf):
+    """Corpus profiling (operators/textstats.exact_quantiles): exact
+    discrete quantiles of per-doc token/char counts — the threshold-tuning
+    read every corpus-specific filter config comes from."""
+    from .operators.textstats import exact_quantiles, token_counts
+
+    d = _read(spark, sf, "documents")
+    m = token_counts(d).join(d.select("doc_id", "n_chars"), "doc_id")
+    return exact_quantiles(
+        m, cols=("ws_tokens", "bpe_ish_tokens", "n_chars"),
+        qs_x100=_QUANTILES_X100)
 
 
 def q_best_snippet(spark, sf):
@@ -1676,6 +1690,7 @@ QUERIES: dict[str, _T] = {
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "best_snippet": q_best_snippet,
+    "corpus_quantiles": q_corpus_quantiles,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2473,6 +2488,31 @@ def _best_snippet_oracle_sql(
 
 
 ORACLE_SQL["best_snippet"] = _best_snippet_oracle_sql()
+
+ORACLE_SQL["corpus_quantiles"] = f"""
+    with m as (
+      select doc_id,
+             cast(len(string_split(text, ' ')) as bigint) as ws_tokens,
+             cast(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as bigint)
+               as bpe_ish_tokens,
+             cast(n_chars as bigint) as n_chars
+      from documents
+    ), melted as (
+      select 'ws_tokens' as metric, ws_tokens as value from m
+      union all
+      select 'bpe_ish_tokens' as metric, bpe_ish_tokens as value from m
+      union all
+      select 'n_chars' as metric, n_chars as value from m
+    ), ranked as (
+      select metric, value,
+             row_number() over (partition by metric order by value) as rk,
+             count(*) over (partition by metric) as n
+      from melted
+    )
+    select metric, cast(q as bigint) as q_x100, value
+    from ranked, unnest([{", ".join(map(str, _QUANTILES_X100))}]) t(q)
+    where rk = (q * n + 99) // 100"""
 
 ORACLE_SQL["kg_khop"] = _COOC_CTE + f"""
     , sym as (

@@ -641,3 +641,45 @@ def lm_bigram_score(
                 "(first_cost + coalesce(pair_sum, 0)) div n_tokens")
             .cast("bigint").alias("ce_x1e6"))
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    qs_x100: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact discrete quantiles of integer metric columns -> (metric,
+    q_x100, value): the corpus-profiling step that tunes per-corpus filter
+    thresholds (every Gopher/length bound here is "corpus-tunable" — this
+    is the tool that reads the corpus). Type-1 (lower discrete) quantile:
+    the value at 1-based rank ceil(q*n), computed as (q*n + 99) div 100 in
+    exact integer arithmetic; ties are harmless because the value AT a rank
+    is well-defined whatever the tie order. Oracle-pairs exactly (all
+    int64, identical rank formula).
+
+    Scale note: exact quantiles globally sort each metric (one shuffle per
+    melt, a window over it) — the VERIFICATION path. At 100 TB use
+    `df.approxQuantile` / `percentile_approx` (Greenwald-Khanna, one pass,
+    no global sort) and keep this as the small-sample cross-check; the
+    melt makes one slim (metric, value) pass per column either way."""
+    from pyspark.sql import Window
+
+    melted = None
+    for c in cols:
+        part = df.select(F.lit(c).alias("metric"),
+                         F.col(c).cast("long").alias("value"))
+        melted = part if melted is None else melted.union(part)
+    w = Window.partitionBy("metric").orderBy("value")
+    ranked = melted.select(
+        "metric", "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("metric")).alias("n"),
+    )
+    out = None
+    for q in qs_x100:
+        sel = (ranked
+               .filter(F.col("rk") == F.expr(f"({q} * n + 99) div 100"))
+               .select("metric", F.lit(q).cast("long").alias("q_x100"),
+                       "value"))
+        out = sel if out is None else out.union(sel)
+    return out

@@ -312,3 +312,24 @@ def test_lm_bigram_partition_invariant(spark):
     b = sorted(map(tuple,
                    lm_bigram_score(d.repartition(5), model).collect()))
     assert a == b
+
+
+def test_exact_quantiles_reference(spark):
+    import math
+
+    from knowledge_graph_studio_spark.operators.textstats import (
+        exact_quantiles)
+
+    vals = [7, 1, 9, 3, 3, 5, 11, 2, 8, 10, 4]          # n = 11
+    df = spark.createDataFrame([(v, v * 10) for v in vals], "a long, b long")
+    got = {(r["metric"], r["q_x100"]): r["value"]
+           for r in exact_quantiles(df, ("a", "b"),
+                                    qs_x100=(50, 90, 99)).collect()}
+    sa, sb = sorted(vals), sorted(v * 10 for v in vals)
+    for q in (50, 90, 99):
+        rk = math.ceil(q * len(vals) / 100)
+        assert got[("a", q)] == sa[rk - 1]
+        assert got[("b", q)] == sb[rk - 1]
+    # cross-check vs Spark's approx at exactness-forcing tolerance
+    exact_p50 = df.approxQuantile("a", [0.5], 0.0)[0]
+    assert got[("a", 50)] == exact_p50
