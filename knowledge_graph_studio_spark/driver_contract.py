@@ -853,6 +853,15 @@ def q_bm25_topk(spark, sf):
 
 _SNIPPET_WINDOW = 25
 _QUANTILES_X100 = (50, 90, 99)
+_KEYWORDS_K = 5
+
+
+def q_topk_keywords(spark, sf):
+    """Per-doc TF-IDF keyword extraction (operators/textstats.topk_keywords)
+    — fixed-point scores floored before ranking, oracle-paired."""
+    from .operators.textstats import topk_keywords
+
+    return topk_keywords(_read(spark, sf, "documents"), k=_KEYWORDS_K)
 
 
 def q_corpus_quantiles(spark, sf):
@@ -1691,6 +1700,7 @@ QUERIES: dict[str, _T] = {
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "best_snippet": q_best_snippet,
     "corpus_quantiles": q_corpus_quantiles,
+    "topk_keywords": q_topk_keywords,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2488,6 +2498,31 @@ def _best_snippet_oracle_sql(
 
 
 ORACLE_SQL["best_snippet"] = _best_snippet_oracle_sql()
+
+ORACLE_SQL["topk_keywords"] = f"""
+    with tf as (
+      select doc_id, term, count(*) as tf from (
+        select doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as term
+        from documents
+      ) group by doc_id, term
+    ), dfs as (
+      select term, count(*) as df from tf group by term
+    ), nd as (
+      select count(distinct doc_id) as n from documents
+    ), scored as (
+      select tf.doc_id, tf.term,
+             cast(floor(1000000.0 * cast(tf.tf as double)
+                        * ln(cast(nd.n as double) / dfs.df))
+                  as bigint) as tfidf_x1e6
+      from tf join dfs using (term) cross join nd
+    )
+    select doc_id, term, tfidf_x1e6, cast(rank as bigint) as rank from (
+      select doc_id, term, tfidf_x1e6,
+             row_number() over (partition by doc_id
+                                order by tfidf_x1e6 desc, term asc) as rank
+      from scored
+    ) where rank <= {_KEYWORDS_K}"""
 
 ORACLE_SQL["corpus_quantiles"] = f"""
     with m as (

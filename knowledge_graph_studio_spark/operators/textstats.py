@@ -683,3 +683,51 @@ def exact_quantiles(
                        "value"))
         out = sel if out is None else out.union(sel)
     return out
+
+
+def topk_keywords(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF -> (id_col, term, tfidf_x1e6,
+    rank): corpus exploration + entity-candidate suggestion for schema
+    induction (which terms would a gazetteer want?). Smoothed
+    idf = ln(N / df) over distinct-doc frequency; the per-(doc, term) score
+    tf * idf is floored to int64 at 1e6 BEFORE ranking (the repo's fixed-
+    point convention), ties broken lexicographically — fully deterministic
+    and oracle-pairable (single product per pair; only ln's ulp exposed).
+
+    Scale shape: tokenize -> explode -> (doc, term) counts (one shuffle,
+    the classic wordcount), term document-frequency as a vocabulary-sized
+    aggregation reused across all docs, per-doc top-k via a window
+    partitioned BY DOC (each partition is one doc's distinct terms —
+    bounded, no skew beyond document length)."""
+    from pyspark.sql import Window
+
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col, "term",
+            F.floor(
+                F.lit(1e6) * F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df"))
+            ).cast("long").alias("tfidf_x1e6"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf_x1e6"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

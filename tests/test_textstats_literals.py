@@ -333,3 +333,36 @@ def test_exact_quantiles_reference(spark):
     # cross-check vs Spark's approx at exactness-forcing tolerance
     exact_p50 = df.approxQuantile("a", [0.5], 0.0)[0]
     assert got[("a", 50)] == exact_p50
+
+
+def test_topk_keywords_reference(spark):
+    import math
+    from collections import Counter
+
+    from knowledge_graph_studio_spark.operators.textstats import (
+        topk_keywords)
+
+    texts = {
+        1: "apple apple banana core",
+        2: "banana core core core dig",
+        3: "apple core elm fig fig fig",
+    }
+    df = spark.createDataFrame(sorted(texts.items()),
+                               "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf_x1e6"])
+           for r in topk_keywords(df, k=2).collect()}
+
+    tfs = {i: Counter(t.split()) for i, t in texts.items()}
+    dfreq = Counter(t for c in tfs.values() for t in c)
+    n = len(texts)
+    want = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            ((math.floor(1e6 * tf * math.log(n / dfreq[t])), t)
+             for t, tf in c.items()),
+            key=lambda st: (-st[0], st[1]))
+        for rk, (s, t) in enumerate(scored[:2], 1):
+            want[(i, rk)] = (t, s)
+    assert got == want
+    # ubiquitous terms (df == n) score exactly 0 and rank last
+    assert all(t != "core" or s == 0 for (_, _), (t, s) in got.items())
