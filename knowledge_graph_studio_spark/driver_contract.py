@@ -854,6 +854,17 @@ def q_bm25_topk(spark, sf):
 _SNIPPET_WINDOW = 25
 _QUANTILES_X100 = (50, 90, 99)
 _KEYWORDS_K = 5
+_SESSION_GAP_SEC = 900
+
+
+def q_sessionize(spark, sf):
+    """Gap-based sessionization of the events table
+    (operators/events.sessionize): microsecond-exact int64 windows,
+    oracle-paired bit-for-bit."""
+    from .operators.events import sessionize
+
+    return sessionize(_read(spark, sf, "events"),
+                      gap_sec=_SESSION_GAP_SEC)
 
 
 def q_topk_keywords(spark, sf):
@@ -1701,6 +1712,7 @@ QUERIES: dict[str, _T] = {
     "best_snippet": q_best_snippet,
     "corpus_quantiles": q_corpus_quantiles,
     "topk_keywords": q_topk_keywords,
+    "sessionize": q_sessionize,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2498,6 +2510,30 @@ def _best_snippet_oracle_sql(
 
 
 ORACLE_SQL["best_snippet"] = _best_snippet_oracle_sql()
+
+ORACLE_SQL["sessionize"] = f"""
+    with e as (
+      select user_id, event_id, epoch_us(ts) as ts_us from events
+    ), marked as (
+      select user_id, event_id, ts_us,
+             case when lag(ts_us) over w is null
+                    or ts_us - lag(ts_us) over w > {_SESSION_GAP_SEC * 1_000_000}
+                  then 1 else 0 end as new_s
+      from e
+      window w as (partition by user_id order by ts_us, event_id)
+    ), sess as (
+      select user_id, ts_us,
+             sum(new_s) over (partition by user_id
+                              order by ts_us, event_id
+                              rows between unbounded preceding
+                                   and current row) as session_idx
+      from marked
+    )
+    select user_id, cast(session_idx as bigint) as session_idx,
+           cast(count(*) as bigint) as n_events,
+           min(ts_us) as start_us, max(ts_us) as end_us,
+           max(ts_us) - min(ts_us) as duration_us
+    from sess group by user_id, session_idx"""
 
 ORACLE_SQL["topk_keywords"] = f"""
     with tf as (

@@ -1,0 +1,78 @@
+"""Event-stream operators over the events table (ts-ordered user activity).
+
+The reference has no event analytics (its `events` are Mongo audit rows);
+these are the batch analogues of the Structured Streaming ops in
+`streaming/` — sessionization is the canonical stateful-window computation
+a 100 TB activity log needs, expressed as plain window functions so
+Catalyst plans it as one shuffle per user-partitioned window chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization -> one row per (user, session):
+    (user_col, session_idx, n_events, start_us, end_us, duration_us).
+    A new session starts when the gap to the user's previous event exceeds
+    ``gap_sec`` (strictly greater), the standard web-analytics 30-min rule.
+
+    Exactness: timestamps are compared in MICROSECONDS as int64, computed
+    by tz-FREE field extraction (unix_date + hour/minute/second fields) so
+    a TIMESTAMP_NTZ column yields identical values under ANY session
+    timezone — the same int64 DuckDB's `epoch_us` produces on the naive
+    timestamp. Rows are ordered by (ts_us, id_col) so lag/cumsum are fully
+    deterministic, and every output column is an integer — the oracle
+    replays bit-for-bit.
+
+    Scale shape: two window functions over ONE user-hash shuffle (lag and
+    the running session count share the same partitioning/ordering, so
+    Catalyst plans a single Window exchange) + one groupBy on
+    (user, session_idx) that is partial-aggregated map-side. A
+    pathologically hot user serializes inside its window partition — the
+    streaming path (`applyInPandasWithState`) or a (user, day) composite
+    key bounds that; the batch default matches every warehouse
+    sessionization."""
+    us = F.expr(
+        f"unix_date(cast({ts_col} as date)) * 86400000000L"
+        f" + hour({ts_col}) * 3600000000L + minute({ts_col}) * 60000000L"
+        f" + cast(extract(second from {ts_col}) * 1000000 as long)")
+    w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
+    gap_us = gap_sec * 1_000_000
+    marked = (
+        events.select(user_col, id_col, us.alias("ts_us"))
+        .withColumn(
+            "_new",
+            F.when(
+                F.lag("ts_us").over(w).isNull()
+                | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_idx",
+                    F.sum("_new").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        marked.groupBy(user_col, "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .select(
+            user_col,
+            F.col("session_idx").cast("long").alias("session_idx"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "start_us", "end_us",
+            (F.col("end_us") - F.col("start_us")).alias("duration_us"),
+        )
+    )

@@ -185,3 +185,32 @@ def test_streaming_dedup_replayed_batch_ignores_own_positions(spark, tmp_path):
     run_streaming_dedup(spark, docs_path, workdir, m_bits=1 << 16, k=5)
     out = spark.read.parquet(f"{workdir}/docs")
     assert out.count() == 20  # all docs kept despite the stale positions
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from knowledge_graph_studio_spark.operators.events import sessionize
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 3 events within gaps, then a 31-min jump -> 2 sessions
+        (1, 1, t0),
+        (2, 1, t0 + timedelta(minutes=10)),
+        (3, 1, t0 + timedelta(minutes=20)),
+        (4, 1, t0 + timedelta(minutes=51)),
+        # user 2: single event -> one 1-event session
+        (5, 2, t0),
+        # user 1: exact 30-min gap is NOT a new session (strictly greater)
+        (6, 1, t0 + timedelta(minutes=81)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz")
+    got = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], r["duration_us"])
+           for r in sessionize(df, gap_sec=1800).collect()}
+    assert got == {
+        (1, 1): (3, 20 * 60 * 1_000_000),
+        (1, 2): (2, 30 * 60 * 1_000_000),   # events at +51 and +81 min
+        (2, 1): (1, 0),
+    }
