@@ -855,6 +855,17 @@ _SNIPPET_WINDOW = 25
 _QUANTILES_X100 = (50, 90, 99)
 _KEYWORDS_K = 5
 _SESSION_GAP_SEC = 900
+_RETENTION_PERIOD_DAYS = 2
+
+
+def q_retention_cohorts(spark, sf):
+    """Cohort retention triangle (operators/events.retention_cohorts) over
+    the events table; 2-day periods so the fixture's time span yields a
+    multi-row triangle. All-int64, oracle-paired."""
+    from .operators.events import retention_cohorts
+
+    return retention_cohorts(_read(spark, sf, "events"),
+                             period_days=_RETENTION_PERIOD_DAYS)
 
 
 def q_sessionize(spark, sf):
@@ -1713,6 +1724,7 @@ QUERIES: dict[str, _T] = {
     "corpus_quantiles": q_corpus_quantiles,
     "topk_keywords": q_topk_keywords,
     "sessionize": q_sessionize,
+    "retention_cohorts": q_retention_cohorts,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2534,6 +2546,20 @@ ORACLE_SQL["sessionize"] = f"""
            min(ts_us) as start_us, max(ts_us) as end_us,
            max(ts_us) - min(ts_us) as duration_us
     from sess group by user_id, session_idx"""
+
+ORACLE_SQL["retention_cohorts"] = f"""
+    with up as (
+      select distinct user_id as u,
+             (ts::date - DATE '1970-01-01') // {_RETENTION_PERIOD_DAYS} as p
+      from events
+    ), cohort as (
+      select u, min(p) as c from up group by u
+    )
+    select cast(c as bigint) as cohort,
+           cast(p - c as bigint) as periods_since,
+           cast(count(distinct up.u) as bigint) as n_users
+    from up join cohort using (u)
+    group by c, p - c"""
 
 ORACLE_SQL["topk_keywords"] = f"""
     with tf as (

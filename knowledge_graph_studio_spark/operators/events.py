@@ -76,3 +76,34 @@ def sessionize(
             (F.col("end_us") - F.col("start_us")).alias("duration_us"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    period_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention -> (cohort, periods_since, n_users): users are
+    cohorted by their FIRST active period (period = floor(days-since-epoch
+    / period_days), tz-free integer arithmetic on the date so
+    TIMESTAMP_NTZ is session-timezone-proof), and each row counts how many
+    of a cohort's users were active again `periods_since` periods later —
+    the standard week-N retention triangle.
+
+    Scale shape: distinct (user, period) first (map-side combinable — the
+    raw event volume collapses to user-period presence before anything
+    else), one min-aggregation per user for the cohort, a user-keyed join
+    back (AQE-skew-safe), and a final small groupBy. All int64; oracle
+    replays exactly."""
+    period = F.expr(
+        f"unix_date(cast({ts_col} as date)) div {period_days}").cast("long")
+    up = (events.select(F.col(user_col).alias("u"),
+                        period.alias("p")).distinct())
+    cohort = up.groupBy("u").agg(F.min("p").alias("c"))
+    return (
+        up.join(cohort, "u")
+        .groupBy(F.col("c").alias("cohort"),
+                 (F.col("p") - F.col("c")).alias("periods_since"))
+        .agg(F.countDistinct("u").alias("n_users"))
+    )

@@ -214,3 +214,33 @@ def test_sessionize_gap_semantics(spark):
         (1, 2): (2, 30 * 60 * 1_000_000),   # events at +51 and +81 min
         (2, 1): (1, 0),
     }
+
+
+def test_retention_cohorts_triangle(spark):
+    from datetime import datetime, timedelta
+
+    from knowledge_graph_studio_spark.operators.events import (
+        retention_cohorts)
+
+    d0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, day):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, user, d0 + timedelta(days=day)))
+
+    # cohort week 0: users 1,2,3; user 1 returns wk1+wk2, user 2 wk1 only
+    for u, days in ((1, [0, 7, 14]), (2, [1, 8]), (3, [2])):
+        for d in days:
+            ev(u, d)
+    # cohort week 1: user 4, returns week 3
+    for d in (7, 21):
+        ev(4, d)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz")
+    base = (d0.date() - datetime(1970, 1, 1).date()).days // 7
+    got = {(r["cohort"] - base, r["periods_since"]): r["n_users"]
+           for r in retention_cohorts(df, period_days=7).collect()}
+    assert got == {(0, 0): 3, (0, 1): 2, (0, 2): 1,
+                   (1, 0): 1, (1, 2): 1}
