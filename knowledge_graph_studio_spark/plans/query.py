@@ -532,7 +532,9 @@ def best_snippet(
     n_hits, start_tok, snippet): the highlight/snippet stage of a retrieval
     stack (run it over bm25_topk/rrf_fuse winners). The chosen window
     maximizes query-term occurrences; ties break to the EARLIEST window;
-    docs with zero hits keep their first window with n_hits = 0.
+    docs with zero hits keep their first window with n_hits = 0; docs with
+    no tokens at all (empty/null text) are dropped — there is no window to
+    return.
 
     All-integer scoring over per-row array expressions — zero shuffle, zero
     Python, O(tokens * window) per row inside codegen'd higher-order
