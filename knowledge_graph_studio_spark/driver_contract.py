@@ -1036,6 +1036,28 @@ def q_kg_pagerank_weighted(spark, sf):
         scale=_PAGERANK_SCALE, weight_col="support")
 
 
+def q_cluster_eval(spark, sf):
+    """Pairwise P/R/F1 of the fuzzy near-dup clustering against exact-md5
+    duplicate truth (dedup.clustering_metrics): C(n,2) over group sizes,
+    never a pair table; items outside any near-dup cluster count as
+    singletons labeled by themselves."""
+    from .operators.dedup import clustering_metrics
+
+    d = _read(spark, sf, "documents")
+    nc = q_neardup_clusters(spark, sf)
+    th = d.select("doc_id", F.md5("text").alias("_h"))
+    tlab = th.groupBy("_h").agg(F.min("doc_id").alias("_t"))
+    assign = (
+        th.join(tlab, "_h")
+        .join(nc, th["doc_id"] == nc["member"], "left")
+        .select(F.col("doc_id").alias("id"),
+                F.coalesce("component", "doc_id").alias("pred"),
+                F.col("_t").alias("truth"))
+    )
+    return clustering_metrics(assign, pred_col="pred", truth_col="truth",
+                              id_col="id")
+
+
 def q_kg_triangles(spark, sf):
     """Per-node triangle count + local clustering coefficient over the
     co-occurrence graph (linking.triangle_counts: degree-ordered orientation
@@ -1725,6 +1747,7 @@ QUERIES: dict[str, _T] = {
     "topk_keywords": q_topk_keywords,
     "sessionize": q_sessionize,
     "retention_cohorts": q_retention_cohorts,
+    "cluster_eval": q_cluster_eval,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2546,6 +2569,53 @@ ORACLE_SQL["sessionize"] = f"""
            min(ts_us) as start_us, max(ts_us) as end_us,
            max(ts_us) - min(ts_us) as duration_us
     from sess group by user_id, session_idx"""
+
+def _cluster_eval_oracle_sql() -> str:
+    """cluster_eval oracle: the neardup_clusters oracle (recursive-CTE
+    closure) nested as a subquery for the predicted labels, exact-md5
+    groups as truth, identical C(n,2)/fixed-point integer math."""
+    nc = ORACLE_SQL["neardup_clusters"]
+    return f"""
+    with pred_t as (
+      select * from ( {nc} ) _nc
+    ), th as (
+      select doc_id, md5(text) as h from documents
+    ), tlab as (
+      select h, min(doc_id) as t from th group by h
+    ), assign as (
+      select th.doc_id as id,
+             coalesce(p.component, th.doc_id) as pred,
+             tlab.t as truth
+      from th
+      join tlab using (h)
+      left join pred_t p on p.member = th.doc_id
+    ), tpg as (
+      select pred, truth, count(*) as n from assign group by pred, truth
+    ), tpv as (
+      select cast(coalesce(sum(n * (n - 1) // 2), 0) as bigint) as tp
+      from tpg
+    ), ppg as (
+      select pred, count(*) as n from assign group by pred
+    ), ppv as (
+      select cast(coalesce(sum(n * (n - 1) // 2), 0) as bigint) as pp
+      from ppg
+    ), ttg as (
+      select truth, count(*) as n from assign group by truth
+    ), ttv as (
+      select cast(coalesce(sum(n * (n - 1) // 2), 0) as bigint) as tt
+      from ttg
+    )
+    select tp,
+           cast(pp - tp as bigint) as fp,
+           cast(tt - tp as bigint) as fn,
+           cast(case when pp > 0 then (1000000 * tp) // pp
+                     else 1000000 end as bigint) as precision_x1e6,
+           cast(case when tt > 0 then (1000000 * tp) // tt
+                     else 1000000 end as bigint) as recall_x1e6,
+           cast(case when pp + tt > 0 then (1000000 * 2 * tp) // (pp + tt)
+                     else 1000000 end as bigint) as f1_x1e6
+    from tpv cross join ppv cross join ttv"""
+
 
 ORACLE_SQL["retention_cohorts"] = f"""
     with up as (
@@ -3527,3 +3597,7 @@ ORACLE_SQL["lm_unigram_score"] = """
                 when ce_x1e6 <= 5800000 then 'middle'
                 else 'tail' end as lm_bucket
     from scored"""
+
+# registered last: the generator nests ORACLE_SQL["neardup_clusters"],
+# which is itself assigned above
+ORACLE_SQL["cluster_eval"] = _cluster_eval_oracle_sql()

@@ -871,3 +871,50 @@ def banded_hamming_pairs(
                     .alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
             .distinct())
+
+
+def clustering_metrics(
+    assign: DataFrame,
+    pred_col: str = "pred",
+    truth_col: str = "truth",
+    id_col: str = "id",
+) -> DataFrame:
+    """Pairwise clustering evaluation -> ONE row (tp, fp, fn,
+    precision_x1e6, recall_x1e6, f1_x1e6): how well a predicted duplicate
+    clustering (fuzzy dedup, entity resolution) recovers a ground-truth
+    one, in the standard pairwise-counting formulation. ``assign`` has one
+    row per item with its predicted and true cluster labels (singletons
+    included, labeled by themselves).
+
+    Pair counts come from C(n,2) over group SIZES — three aggregations
+    (pred, truth, pred x truth), never a materialized pair table, so a
+    10^12-item evaluation costs three shuffles of at most |items| rows.
+    All arithmetic is int64 (C(n,2) = n*(n-1) div 2; ratios in the 1e6
+    fixed point with div), so the result is exact, partition-invariant and
+    oracle-pairable. Zero-denominator conventions: a metric with an empty
+    denominator reports 1e6 (vacuously perfect), matching the usual ER
+    convention for 'no pairs predicted / none to find'."""
+    def _pairs(cols: list[str]):
+        return (
+            assign.groupBy(*cols).agg(F.count("*").alias("n"))
+            .agg(F.coalesce(F.sum(F.expr("n * (n - 1) div 2")),
+                            F.lit(0)).cast("long").alias("p"))
+        )
+
+    tp_df = _pairs([pred_col, truth_col]).withColumnRenamed("p", "tp")
+    pp_df = _pairs([pred_col]).withColumnRenamed("p", "pp")
+    tt_df = _pairs([truth_col]).withColumnRenamed("p", "tt")
+    one = tp_df.crossJoin(pp_df).crossJoin(tt_df)
+    fp = F.col("pp") - F.col("tp")
+    fn = F.col("tt") - F.col("tp")
+    def _ratio(num: str, den: str):
+        return F.when(F.col(den) > 0, F.expr(f"(1000000 * {num}) div {den}")) \
+                .otherwise(F.lit(1_000_000)).cast("long")
+    return one.select(
+        "tp", fp.cast("long").alias("fp"), fn.cast("long").alias("fn"),
+        _ratio("tp", "pp").alias("precision_x1e6"),
+        _ratio("tp", "tt").alias("recall_x1e6"),
+        F.when((F.col("pp") + F.col("tt")) > 0,
+               F.expr("(1000000 * 2 * tp) div (pp + tt)"))
+        .otherwise(F.lit(1_000_000)).cast("long").alias("f1_x1e6"),
+    )

@@ -505,3 +505,48 @@ def test_seen_before_join_path_broadcasts_small_index(spark):
     b = sorted(map(tuple,
                    seen_before(new, idx, m_bits=1 << 16, k=5).collect()))
     assert a == b
+
+
+def test_clustering_metrics_pairwise_reference(spark):
+    from itertools import combinations
+
+    from knowledge_graph_studio_spark.operators.dedup import (
+        clustering_metrics)
+
+    #      id: 1  2  3  4  5  6  7
+    pred =   [1, 1, 1, 4, 4, 6, 7]
+    truth =  [1, 1, 3, 3, 4, 6, 6]
+    df = spark.createDataFrame(
+        list(zip(range(1, 8), pred, truth)), "id long, pred long, truth long")
+    row = clustering_metrics(df, id_col="id").collect()[0]
+
+    items = list(zip(range(1, 8), pred, truth))
+    same_p = {(a, b) for (a, pa, _), (b, pb, _)
+              in combinations(items, 2) if pa == pb}
+    same_t = {(a, b) for (a, _, ta), (b, _, tb)
+              in combinations(items, 2) if ta == tb}
+    tp = len(same_p & same_t)
+    assert (row["tp"], row["fp"], row["fn"]) == (
+        tp, len(same_p) - tp, len(same_t) - tp)
+    assert row["precision_x1e6"] == 1_000_000 * tp // len(same_p)
+    assert row["recall_x1e6"] == 1_000_000 * tp // len(same_t)
+    assert row["f1_x1e6"] == 1_000_000 * 2 * tp // (len(same_p) + len(same_t))
+
+
+def test_clustering_metrics_degenerate_conventions(spark):
+    from knowledge_graph_studio_spark.operators.dedup import (
+        clustering_metrics)
+
+    # all singletons on both sides: zero pairs anywhere -> vacuously perfect
+    df = spark.createDataFrame(
+        [(i, i, i) for i in range(5)], "id long, pred long, truth long")
+    row = clustering_metrics(df, id_col="id").collect()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (0, 0, 0)
+    assert (row["precision_x1e6"], row["recall_x1e6"], row["f1_x1e6"]) == (
+        1_000_000, 1_000_000, 1_000_000)
+    # identical non-trivial clusterings: perfect scores, tp > 0
+    df2 = spark.createDataFrame(
+        [(i, i % 2, i % 2) for i in range(6)], "id long, pred long, truth long")
+    row2 = clustering_metrics(df2, id_col="id").collect()[0]
+    assert row2["tp"] == 6 and row2["fp"] == 0 and row2["fn"] == 0
+    assert row2["f1_x1e6"] == 1_000_000
