@@ -856,6 +856,15 @@ _QUANTILES_X100 = (50, 90, 99)
 _KEYWORDS_K = 5
 _SESSION_GAP_SEC = 900
 _RETENTION_PERIOD_DAYS = 2
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def q_event_funnel(spark, sf):
+    """Ordered funnel conversion (operators/events.funnel): first-occurrence
+    anchors, strictly-after chaining, one user-keyed shuffle per step."""
+    from .operators.events import funnel
+
+    return funnel(_read(spark, sf, "events"), list(_FUNNEL_STEPS))
 
 
 def q_retention_cohorts(spark, sf):
@@ -1747,6 +1756,7 @@ QUERIES: dict[str, _T] = {
     "topk_keywords": q_topk_keywords,
     "sessionize": q_sessionize,
     "retention_cohorts": q_retention_cohorts,
+    "event_funnel": q_event_funnel,
     "cluster_eval": q_cluster_eval,
     "fingerprint": q_fingerprint,
     "kg_mentions": q_kg_mentions,
@@ -2616,6 +2626,38 @@ def _cluster_eval_oracle_sql() -> str:
                      else 1000000 end as bigint) as f1_x1e6
     from tpv cross join ppv cross join ttv"""
 
+
+def _event_funnel_oracle_sql(steps: tuple = _FUNNEL_STEPS) -> str:
+    """event_funnel oracle: the strictly-after min-anchor chain unrolled as
+    one CTE per step, counts unioned — generated from the shared step
+    list."""
+    sql = """
+    with e as (
+      select user_id as u, event_type as et, epoch_us(ts) as t from events
+    )"""
+    for i, step in enumerate(steps):
+        if i == 0:
+            sql += f"""
+    , s0 as (
+      select u, min(t) as ta from e where et = '{step}' group by u
+    )"""
+        else:
+            sql += f"""
+    , s{i} as (
+      select e.u, min(e.t) as ta
+      from e join s{i - 1} p on p.u = e.u
+      where e.et = '{step}' and e.t > p.ta
+      group by e.u
+    )"""
+    selects = [
+        f"""select cast({i} as bigint) as step_idx, '{step}' as step,
+               (select cast(count(*) as bigint) from s{i}) as n_users"""
+        for i, step in enumerate(steps)
+    ]
+    return sql + "\n    " + "\n    union all\n    ".join(selects)
+
+
+ORACLE_SQL["event_funnel"] = _event_funnel_oracle_sql()
 
 ORACLE_SQL["retention_cohorts"] = f"""
     with up as (

@@ -13,6 +13,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ts_us(ts_col: str):
+    """Microseconds since epoch as int64 by tz-FREE field extraction — a
+    TIMESTAMP_NTZ column yields identical values under ANY session timezone
+    (== DuckDB epoch_us on the naive timestamp)."""
+    return F.expr(
+        f"unix_date(cast({ts_col} as date)) * 86400000000L"
+        f" + hour({ts_col}) * 3600000000L + minute({ts_col}) * 60000000L"
+        f" + cast(extract(second from {ts_col}) * 1000000 as long)")
+
+
 def sessionize(
     events: DataFrame,
     gap_sec: int = 1800,
@@ -41,10 +51,7 @@ def sessionize(
     streaming path (`applyInPandasWithState`) or a (user, day) composite
     key bounds that; the batch default matches every warehouse
     sessionization."""
-    us = F.expr(
-        f"unix_date(cast({ts_col} as date)) * 86400000000L"
-        f" + hour({ts_col}) * 3600000000L + minute({ts_col}) * 60000000L"
-        f" + cast(extract(second from {ts_col}) * 1000000 as long)")
+    us = _ts_us(ts_col)
     w = Window.partitionBy(user_col).orderBy("ts_us", id_col)
     gap_us = gap_sec * 1_000_000
     marked = (
@@ -107,3 +114,47 @@ def retention_cohorts(
                  (F.col("p") - F.col("c")).alias("periods_since"))
         .agg(F.countDistinct("u").alias("n_users"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion -> (step_idx, step, n_users): of the users
+    who performed step 0, how many then performed step 1 STRICTLY AFTER it,
+    then step 2 after that, ... (first-occurrence semantics: each step's
+    anchor is the EARLIEST qualifying event, the standard product-analytics
+    definition — greedy-earliest is optimal here, so no backtracking).
+
+    Scale shape: one user-keyed shuffle per step (filter to the step's
+    events -> join the survivors-so-far -> min-aggregate), k steps = k
+    slim shuffles over at most |users| rows after the first; the counts
+    union into a single k-row action. Microsecond int64 timestamps via
+    tz-free extraction; oracle replays exactly."""
+    us = _ts_us(ts_col)
+    e = events.select(F.col(user_col).alias("u"),
+                      F.col(type_col).alias("et"), us.alias("t"))
+    counts = []
+    cur = None
+    for i, step in enumerate(steps):
+        se = e.filter(F.col("et") == step).select("u", "t")
+        if cur is None:
+            cur = se.groupBy("u").agg(F.min("t").alias("t_anchor"))
+        else:
+            cur = (
+                se.join(cur.select("u", F.col("t_anchor").alias("t_prev")),
+                        "u")
+                .filter(F.col("t") > F.col("t_prev"))
+                .groupBy("u").agg(F.min("t").alias("t_anchor"))
+            )
+        counts.append(
+            cur.agg(F.count("*").cast("long").alias("n_users"))
+            .select(F.lit(i).cast("long").alias("step_idx"),
+                    F.lit(step).alias("step"), "n_users"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.union(c)
+    return out

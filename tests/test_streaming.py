@@ -244,3 +244,31 @@ def test_retention_cohorts_triangle(spark):
            for r in retention_cohorts(df, period_days=7).collect()}
     assert got == {(0, 0): 3, (0, 1): 2, (0, 2): 1,
                    (1, 0): 1, (1, 2): 1}
+
+
+def test_event_funnel_strictly_after_chaining(spark):
+    from datetime import datetime, timedelta
+
+    from knowledge_graph_studio_spark.operators.events import funnel
+
+    t0 = datetime(2024, 3, 1)
+    rows, eid = [], 0
+
+    def ev(user, et, minute):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, user, et, t0 + timedelta(minutes=minute)))
+
+    # user 1 completes A -> B -> C in order
+    ev(1, "A", 0); ev(1, "B", 5); ev(1, "C", 10)
+    # user 2 does B BEFORE A: that B must not count; no later B -> stops at A
+    ev(2, "B", 0); ev(2, "A", 5)
+    # user 3: A then B at the SAME timestamp as A -> strictly-after fails
+    ev(3, "A", 0); ev(3, "B", 0)
+    # user 4 never does A but does B, C: excluded from step 0 onward
+    ev(4, "B", 1); ev(4, "C", 2)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz")
+    got = {(r["step_idx"], r["step"]): r["n_users"]
+           for r in funnel(df, ["A", "B", "C"]).collect()}
+    assert got == {(0, "A"): 3, (1, "B"): 1, (2, "C"): 1}
