@@ -441,7 +441,12 @@ def bm25_topk(
     the exploded postings carry only query-term hits — a 100 TB scan
     explodes ~|hits|, not ~|tokens|. Corpus stats (N, sum dl) are one
     broadcast row; per-term df is <= |query| rows, broadcast; one shuffle
-    for the (doc, term) tf aggregation; top-k is TakeOrderedAndProject."""
+    for the (doc, term) tf aggregation; top-k is TakeOrderedAndProject.
+    The slim (id, dl, query-hits) projection and the postings are lazily
+    checkpointed because each feeds TWO consumers (stats+postings,
+    df+scoring): without the cuts Catalyst re-derives every subtree from
+    the source and a 100 TB table is scanned three times (observed in the
+    plan audit — three FileScans); with them it is scanned once."""
     terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
     if not terms:
         return docs.select(
@@ -457,12 +462,13 @@ def bm25_topk(
         F.size("_toks").alias("_dl"),
         F.filter("_toks", lambda x: F.array_contains(term_arr, x))
         .alias("_qt"),
-    )
+    ).localCheckpoint(eager=False)
     stats = base.agg(F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl"))
     postings = (
         base.filter(F.size("_qt") > 0)
         .select("_id", "_dl", F.explode("_qt").alias("_term"))
         .groupBy("_id", "_dl", "_term").agg(F.count("*").alias("_tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = postings.groupBy("_term").agg(F.count("*").alias("_df"))
     tf = F.col("_tf").cast("double")
