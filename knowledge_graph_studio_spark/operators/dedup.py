@@ -894,6 +894,11 @@ def clustering_metrics(
     oracle-pairable. Zero-denominator conventions: a metric with an empty
     denominator reports 1e6 (vacuously perfect), matching the usual ER
     convention for 'no pairs predicted / none to find'."""
+    # lazy checkpoint: three independent aggregations read `assign`, whose
+    # upstream may be expensive (e.g. a connected-components closure) —
+    # without the cut it is derived three times
+    assign = assign.localCheckpoint(eager=False)
+
     def _pairs(cols: list[str]):
         return (
             assign.groupBy(*cols).agg(F.count("*").alias("n"))

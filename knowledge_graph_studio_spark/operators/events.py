@@ -106,7 +106,10 @@ def retention_cohorts(
     period = F.expr(
         f"unix_date(cast({ts_col} as date)) div {period_days}").cast("long")
     up = (events.select(F.col(user_col).alias("u"),
-                        period.alias("p")).distinct())
+                        period.alias("p")).distinct()
+          # lazy checkpoint: up feeds both the cohort min-agg and the join
+          # back — without the cut the raw event scan + distinct runs twice
+          .localCheckpoint(eager=False))
     cohort = up.groupBy("u").agg(F.min("p").alias("c"))
     return (
         up.join(cohort, "u")

@@ -710,6 +710,9 @@ def topk_keywords(
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+        # lazy checkpoint: tf feeds BOTH the df aggregation and the score
+        # join — without the cut the corpus-wide explode runs twice
+        .localCheckpoint(eager=False)
     )
     n_docs = df.select(F.countDistinct(id_col).alias("n"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
