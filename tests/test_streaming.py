@@ -272,3 +272,66 @@ def test_event_funnel_strictly_after_chaining(spark):
     got = {(r["step_idx"], r["step"]): r["n_users"]
            for r in funnel(df, ["A", "B", "C"]).collect()}
     assert got == {(0, "A"): 3, (1, "B"): 1, (2, "C"): 1}
+
+
+def test_streaming_sessions_parity_and_watermark_gate(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from knowledge_graph_studio_spark.streaming.sessions import (
+        run_streaming_sessions, streaming_sessions)
+
+    t0 = datetime(2024, 5, 1)
+    rows, eid = [], 0
+
+    def ev(user, minute):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, user, t0 + timedelta(minutes=minute)))
+
+    # user 1: two sessions well apart; user 2: one session
+    for m in (0, 5, 10, 120, 125):
+        ev(1, m)
+    for m in (0, 2):
+        ev(2, m)
+    # a sentinel ahead of the real data advances the watermark (to minute
+    # 140) so every real session above is finalized by the time the stream
+    # drains — but NOT so far that the resume batch's events would be late
+    ev(99, 200)
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    src = str(tmp_path / "events")
+    df.repartition(4).write.parquet(src)
+
+    out = run_streaming_sessions(
+        spark, src, str(tmp_path / "wd"), gap_sec=1800, watermark="1 hour")
+    got = {(r["user_id"], r["session_start"], r["n_events"])
+           for r in out.collect()}
+    # batch parity: the same expression on a batch DF yields ALL sessions;
+    # streaming-append must emit exactly those whose END (last event + gap)
+    # the watermark passed: cutoff = max event time - watermark
+    cutoff = t0 + timedelta(minutes=200) - timedelta(hours=1)
+    batch = {(r["user_id"], r["session_start"], r["n_events"])
+             for r in streaming_sessions(df, gap_sec=1800).collect()
+             if r["session_end"] <= cutoff}
+    assert got == batch
+    # finalized by run 1: user 1's first session + user 2's (user 1's
+    # second session ends at minute 155 > cutoff 140 — still open state)
+    by_user = sorted((u, n) for u, _, n in got)
+    assert by_user == [(1, 3), (2, 2)]
+
+    # resume: append new events for user 2 (a new later session, ABOVE the
+    # carried watermark of minute 140) + a fresh sentinel that finalizes
+    # it; the rerun emits ONLY newly-finalized sessions, no dupes
+    rows2 = [(100, 2, t0 + timedelta(minutes=300)),
+             (101, 2, t0 + timedelta(minutes=305)),
+             (102, 98, t0 + timedelta(minutes=1000))]
+    spark.createDataFrame(
+        rows2, "event_id long, user_id long, ts timestamp"
+    ).write.mode("append").parquet(src)
+    out2 = run_streaming_sessions(
+        spark, src, str(tmp_path / "wd"), gap_sec=1800, watermark="1 hour")
+    counts = out2.groupBy("user_id", "session_start").count()
+    assert counts.filter("count > 1").count() == 0  # exactly-once
+    assert out2.filter("user_id = 2").count() == 2  # old + newly closed
+    # the carried state finalized user 1's held second session on rerun
+    assert out2.filter("user_id = 1").count() == 2
