@@ -58,6 +58,9 @@ HEADLINE = [
     "kg_triangles",
     "bm25_topk",
     "hybrid_rrf_topk",
+    # window-chain and explode+window profiles (events / keyword families)
+    "sessionize",
+    "topk_keywords",
 ]
 
 
