@@ -424,3 +424,32 @@ def update_graph_incremental(
         "nodes": read_table(spark, f"{workdir}/nodes_v{k}"),
         "edges": read_table(spark, f"{workdir}/edges_v{k}"),
     }
+
+
+def diff_graph_versions(
+    spark: SparkSession, workdir: str,
+    old_version: int | None = None, new_version: int | None = None,
+):
+    """Changelog between two committed graph versions written by
+    :func:`update_graph_incremental` -> the plans/admin.graph_diff report
+    (kind, change, key): "what did that crawl delta do to the graph".
+    Defaults to the two most recent committed versions; raises if fewer
+    than two exist (or a requested version was never committed)."""
+    from .plans.admin import graph_diff
+
+    vs = [r["partition_id"] for r in _committed_versions(RunManifest(workdir))]
+    if new_version is None or old_version is None:
+        if len(vs) < 2:
+            raise ValueError(
+                f"need two committed versions to diff, have {vs}")
+        old_version = vs[-2] if old_version is None else old_version
+        new_version = vs[-1] if new_version is None else new_version
+    for v in (old_version, new_version):
+        if v not in vs:
+            raise ValueError(f"version {v} not committed (have {vs})")
+    return graph_diff(
+        read_table(spark, f"{workdir}/nodes_v{old_version}"),
+        read_table(spark, f"{workdir}/nodes_v{new_version}"),
+        read_table(spark, f"{workdir}/edges_v{old_version}"),
+        read_table(spark, f"{workdir}/edges_v{new_version}"),
+    )

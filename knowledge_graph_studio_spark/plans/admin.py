@@ -88,12 +88,23 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     codegen'd comparison projection — no collect, no window; at 10^12 rows
     this is the same cost class as the upsert that produced the new
     version. AQE handles skewed keys."""
+    from pyspark.sql import types as T
+
     cmp_cols = [c for c in new.columns if c not in keys and c in old.columns]
+
+    def _cmp(c):
+        # <=> cannot order MAP types: canonicalize maps to sorted entry
+        # arrays (array<struct> IS orderable), making the comparison both
+        # legal and entry-order-insensitive
+        if isinstance(new.schema[c].dataType, T.MapType):
+            return F.array_sort(F.map_entries(F.col(c)))
+        return F.col(c)
+
     o = old.select(
         *[F.col(c).alias(f"_o_{c}") for c in keys],
-        *[F.col(c).alias(f"_oc_{c}") for c in cmp_cols])
+        *[_cmp(c).alias(f"_oc_{c}") for c in cmp_cols])
     nw = new.select(
-        *keys, *[F.col(c).alias(f"_nc_{c}") for c in cmp_cols])
+        *keys, *[_cmp(c).alias(f"_nc_{c}") for c in cmp_cols])
     cond = None
     for k in keys:
         eq = nw[k].eqNullSafe(o[f"_o_{k}"])

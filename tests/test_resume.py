@@ -95,3 +95,38 @@ def test_incremental_update_equals_full_rebuild(spark, tmp_path):
     again = update_graph_incremental(spark, src, wd)
     assert again["version"] == 1
     assert current_tables(spark, wd)["version"] == 1
+
+
+def test_diff_graph_versions_changelog(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knowledge_graph_studio_spark.pipeline import (
+        diff_graph_versions, update_graph_incremental)
+    from knowledge_graph_studio_spark.sources.pages import synthetic_pages
+
+    pp = str(tmp_path / "pages")
+    synthetic_pages(spark, 120, seed=3, partitions=4) \
+        .withColumn("segment", F.lit(0)) \
+        .write.partitionBy("segment").parquet(pp)
+    wd = str(tmp_path / "g")
+    update_graph_incremental(spark, pp, wd)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        diff_graph_versions(spark, wd)   # only one committed version
+    synthetic_pages(spark, 60, seed=9, partitions=2) \
+        .withColumn("segment", F.lit(1)) \
+        .write.mode("append").partitionBy("segment").parquet(pp)
+    update_graph_incremental(spark, pp, wd)
+
+    d = diff_graph_versions(spark, wd)
+    by = {(r["kind"], r["change"]): r["count"]
+          for r in d.groupBy("kind", "change").count().collect()}
+    # a pure-append delta never removes anything, must add or touch rows
+    assert all(k[1] != "removed" for k in by)
+    assert sum(by.values()) == d.count() > 0
+    assert any(k == ("edge", "added") for k in by)
+    # self-diff is empty (the unchanged rows are dropped)
+    from knowledge_graph_studio_spark.pipeline import (
+        RunManifest, _committed_versions)
+    latest = _committed_versions(RunManifest(wd))[-1]["partition_id"]
+    assert diff_graph_versions(spark, wd, latest, latest).count() == 0
