@@ -981,6 +981,22 @@ def q_kg_cooccurrence(spark, sf):
     )
 
 
+def _nearest_partner_edges(spark, sf):
+    """Sparse multi-component graph shared by the CC and k-hop entries (and
+    replayed by both oracles): each term's single nearest co-occurrence
+    partner by (support, name) — the full cooc graph is near-complete and
+    would make both entries degenerate."""
+    t = q_kg_cooccurrence(spark, sf)
+    sym = t.select(F.col("head").alias("a"), F.col("tail").alias("b"),
+                   "support").union(
+        t.select(F.col("tail").alias("a"), F.col("head").alias("b"),
+                 "support"))
+    w = Window.partitionBy("a").orderBy("support", "b")
+    return (sym.withColumn("rk", F.row_number().over(w))
+            .filter("rk = 1")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst")))
+
+
 def q_kg_connected_components(spark, sf):
     """The north rule's connected-components dedup (iterative DataFrame
     joins, linking.connected_components) oracle-paired: CC over each term's
@@ -991,16 +1007,8 @@ def q_kg_connected_components(spark, sf):
     loop is value-checked end-to-end, not just law-tested in pytest."""
     from .operators.linking import connected_components
 
-    t = q_kg_cooccurrence(spark, sf)
-    sym = t.select(F.col("head").alias("a"), F.col("tail").alias("b"),
-                   "support").union(
-        t.select(F.col("tail").alias("a"), F.col("head").alias("b"),
-                 "support"))
-    w = Window.partitionBy("a").orderBy("support", "b")
-    nearest = (sym.withColumn("rk", F.row_number().over(w))
-               .filter("rk = 1")
-               .select(F.col("a").alias("src"), F.col("b").alias("dst")))
-    return connected_components(nearest).select("member", "component")
+    return connected_components(
+        _nearest_partner_edges(spark, sf)).select("member", "component")
 
 
 _PAGERANK_ITERS = 5
@@ -1090,19 +1098,8 @@ def q_kg_khop(spark, sf):
     recursive CTE taking min(dist)."""
     from .plans.query import khop_distances
 
-    t = q_kg_cooccurrence(spark, sf)
-    # sparse nearest-partner graph (the kg_connected_components derivation):
-    # the full cooc graph is near-complete, which would make every node
-    # 1-hop and the expansion trivial
-    sym = t.select(F.col("head").alias("a"), F.col("tail").alias("b"),
-                   "support").union(
-        t.select(F.col("tail").alias("a"), F.col("head").alias("b"),
-                 "support"))
-    w = Window.partitionBy("a").orderBy("support", "b")
-    nearest = (sym.withColumn("rk", F.row_number().over(w))
-               .filter("rk = 1")
-               .select(F.col("a").alias("src"), F.col("b").alias("dst")))
-    return khop_distances(nearest, _KHOP_SEEDS, max_hops=_KHOP_MAX)
+    return khop_distances(_nearest_partner_edges(spark, sf),
+                          _KHOP_SEEDS, max_hops=_KHOP_MAX)
 
 
 # graph_diff fixture: two thresholded cooc graphs over disjoint doc windows

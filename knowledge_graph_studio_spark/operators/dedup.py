@@ -891,9 +891,12 @@ def clustering_metrics(
     10^12-item evaluation costs three shuffles of at most |items| rows.
     All arithmetic is int64 (C(n,2) = n*(n-1) div 2; ratios in the 1e6
     fixed point with div), so the result is exact, partition-invariant and
-    oracle-pairable. Zero-denominator conventions: a metric with an empty
-    denominator reports 1e6 (vacuously perfect), matching the usual ER
-    convention for 'no pairs predicted / none to find'."""
+    oracle-pairable. ``id_col`` enforces one row per item
+    (dropDuplicates) so accidental duplicate assignment rows cannot
+    double-count pairs. Zero-denominator conventions: a metric with an
+    empty denominator reports 1e6 (vacuously perfect), matching the usual
+    ER convention for 'no pairs predicted / none to find'."""
+    assign = assign.dropDuplicates([id_col])
     # lazy checkpoint: three independent aggregations read `assign`, whose
     # upstream may be expensive (e.g. a connected-components closure) —
     # without the cut it is derived three times

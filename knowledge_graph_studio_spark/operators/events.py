@@ -135,11 +135,19 @@ def funnel(
     Scale shape: one user-keyed shuffle per step (filter to the step's
     events -> join the survivors-so-far -> min-aggregate), k steps = k
     slim shuffles over at most |users| rows after the first; the counts
-    union into a single k-row action. Microsecond int64 timestamps via
-    tz-free extraction; oracle replays exactly."""
+    union into a single k-row action. The slim event projection and each
+    step's survivor table are lazily checkpointed — both feed TWO
+    consumers (k step filters; the count + the next step's join), and
+    without the cuts the unioned result re-derives every prefix chain,
+    O(k^2) source scans. Microsecond int64 timestamps via tz-free
+    extraction; oracle replays exactly."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
     us = _ts_us(ts_col)
     e = events.select(F.col(user_col).alias("u"),
                       F.col(type_col).alias("et"), us.alias("t"))
+    if len(steps) > 1:  # single-step funnels read the source once anyway
+        e = e.localCheckpoint(eager=False)
     counts = []
     cur = None
     for i, step in enumerate(steps):
@@ -153,6 +161,7 @@ def funnel(
                 .filter(F.col("t") > F.col("t_prev"))
                 .groupBy("u").agg(F.min("t").alias("t_anchor"))
             )
+        cur = cur.localCheckpoint(eager=False)
         counts.append(
             cur.agg(F.count("*").cast("long").alias("n_users"))
             .select(F.lit(i).cast("long").alias("step_idx"),

@@ -675,14 +675,17 @@ def exact_quantiles(
         F.row_number().over(w).alias("rk"),
         F.count("*").over(Window.partitionBy("metric")).alias("n"),
     )
-    out = None
-    for q in qs_x100:
-        sel = (ranked
-               .filter(F.col("rk") == F.expr(f"({q} * n + 99) div 100"))
-               .select("metric", F.lit(q).cast("long").alias("q_x100"),
-                       "value"))
-        out = sel if out is None else out.union(sel)
-    return out
+    # ONE pass: explode the q literals per ranked row and keep rank hits —
+    # per-q filters over the same window subtree would re-derive the melt
+    # and the global per-metric sort once per quantile (the oracle's
+    # unnest([...]) is the same shape)
+    qarr = F.array(*[F.lit(int(q)).cast("long") for q in qs_x100])
+    return (
+        ranked.select("metric", "value", "rk", "n",
+                      F.explode(qarr).alias("q_x100"))
+        .filter(F.col("rk") == F.expr("(q_x100 * n + 99) div 100"))
+        .select("metric", "q_x100", "value")
+    )
 
 
 def topk_keywords(

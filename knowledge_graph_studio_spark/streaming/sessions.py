@@ -32,7 +32,18 @@ def streaming_sessions(
     """events (streaming OR batch DF) -> one row per closed session:
     (user_col, session_start, session_end, n_events). On a batch DF the
     same expression computes ALL sessions (no watermark gating), which is
-    what the parity test exploits."""
+    what the parity test exploits.
+
+    A TIMESTAMP_NTZ event-time column (what parquet inference yields for
+    naive timestamps) is cast to TIMESTAMP first: streaming watermarks
+    REQUIRE the instant type ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]
+    otherwise). The cast applies the session timezone uniformly, so gaps —
+    and therefore session membership — are unchanged; the reported
+    window bounds are instants in that timezone."""
+    from pyspark.sql import types as T
+
+    if isinstance(events.schema[ts_col].dataType, T.TimestampNTZType):
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(

@@ -335,3 +335,26 @@ def test_streaming_sessions_parity_and_watermark_gate(spark, tmp_path):
     assert out2.filter("user_id = 2").count() == 2  # old + newly closed
     # the carried state finalized user 1's held second session on rerun
     assert out2.filter("user_id = 1").count() == 2
+
+
+def test_streaming_sessions_accepts_timestamp_ntz(spark, tmp_path):
+    """Parquet-inferred naive timestamps read as TIMESTAMP_NTZ, which
+    streaming watermarks reject — the operator must cast internally
+    (regression for [EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE])."""
+    from datetime import datetime, timedelta
+
+    from knowledge_graph_studio_spark.streaming.sessions import (
+        run_streaming_sessions)
+
+    t0 = datetime(2024, 6, 1)
+    rows = [(1, 7, t0), (2, 7, t0 + timedelta(minutes=1)),
+            (3, 99, t0 + timedelta(hours=5))]  # sentinel finalizes user 7
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    src = str(tmp_path / "ev")
+    df.write.parquet(src)
+    out = run_streaming_sessions(spark, src, str(tmp_path / "wd"),
+                                 gap_sec=1800, watermark="1 hour")
+    got = {(r["user_id"], r["n_events"]) for r in out.collect()}
+    assert got == {(7, 2)}
