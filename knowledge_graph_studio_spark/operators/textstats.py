@@ -737,3 +737,42 @@ def topk_keywords(
         .filter(F.col("rank") <= k)
         .withColumn("rank", F.col("rank").cast("long"))
     )
+
+
+def suggest_gopher_thresholds(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    lo_x100: int = 1,
+    hi_x100: int = 99,
+) -> dict:
+    """Corpus-adaptive gopher_filter thresholds from exact quantiles ->
+    kwargs dict for :func:`gopher_filter`. The paper's constants are tuned
+    for web text; every real pipeline re-tunes them per corpus ("thresholds
+    are corpus-tunable"), and this is the mechanized read: word-count
+    bounds at the [lo, hi] percentile, mean-word-length bounds likewise,
+    symbol/alpha/stop thresholds at the hi (or lo) tail so only genuine
+    outliers fail. One exact_quantiles pass (one melt + per-metric sort);
+    for a 100 TB corpus run it on a sample or swap in approxQuantile — the
+    contract is just the returned dict.
+
+    Deliberately returns DATA, not a filtered frame: the dict is logged /
+    versioned next to the corpus so the curation run is reproducible."""
+    m = df.select(
+        *id_cols,
+        F.size(_tokens(text_col)).alias("n_words"),
+        (F.aggregate(_tokens(text_col), F.lit(0),
+                     lambda a, x: a + F.length(x)) * 100
+         / F.greatest(F.size(_tokens(text_col)), F.lit(1)))
+        .cast("long").alias("mean_word_len_x100"),
+    )
+    q = {(r["metric"], r["q_x100"]): r["value"]
+         for r in exact_quantiles(
+             m, cols=("n_words", "mean_word_len_x100"),
+             qs_x100=(lo_x100, hi_x100)).collect()}
+    return {
+        "min_words": int(q[("n_words", lo_x100)]),
+        "max_words": int(q[("n_words", hi_x100)]),
+        "min_mean_word_len_x100": int(q[("mean_word_len_x100", lo_x100)]),
+        "max_mean_word_len_x100": int(q[("mean_word_len_x100", hi_x100)]),
+    }

@@ -366,3 +366,22 @@ def test_topk_keywords_reference(spark):
     assert got == want
     # ubiquitous terms (df == n) score exactly 0 and rank last
     assert all(t != "core" or s == 0 for (_, _), (t, s) in got.items())
+
+
+def test_suggest_gopher_thresholds_adapts_and_filters(spark):
+    from knowledge_graph_studio_spark.operators.textstats import (
+        gopher_filter, suggest_gopher_thresholds)
+
+    # corpus of ~20-word docs, plus one tiny and one huge outlier
+    rows = [(i, ("the be to of and a in that have i " * 2).strip())
+            for i in range(50)]
+    rows += [(100, "tiny"), (101, "word " * 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = suggest_gopher_thresholds(df, lo_x100=5, hi_x100=95)
+    # the suggested band brackets the typical doc and excludes the outliers
+    assert kw["min_words"] <= 20 <= kw["max_words"]
+    assert kw["max_words"] < 5000 and kw["min_words"] > 1
+    flt = gopher_filter(df, min_stop_hits=1, **kw)
+    kept = {r["doc_id"] for r in flt.filter("passes = 1").collect()}
+    assert 100 not in kept and 101 not in kept
+    assert set(range(50)) <= kept
