@@ -1698,7 +1698,61 @@ def q_kg_workspace_tags(spark, sf):
 # Registry + oracle SQL
 # --------------------------------------------------------------------------- #
 
+# --------------------------------------------------------------------------- #
+# QUERIES ordering = the driver's verification window (VERDICT r5 #1).
+#
+# The driver writes CORRECTNESS rows for the FIRST 50 entries of this dict,
+# so insertion order decides which entries get a hard driver signal each
+# round. ROTATION POLICY (documented so every entry gets a driver row at
+# least every other round): order entries by driver-verification recency,
+# LEAST recently verified first —
+#   r6 window (positions 1-50): the 33 entries with no CORRECTNESS_r05 row
+#     (the 13 never driver-checked graph/event-analytics entries, the
+#     flagship kg_pipeline_nodes/edges, and the 18 entries displaced from
+#     the r5 window) followed by the 17 oldest r5-green entries.
+#   positions 51-83: the remaining 33 r5-green entries — they rotate INTO
+#     the window next round.
+# Reordering never changes a query or its oracle; each name keeps its
+# function and ORACLE_SQL text.
+# --------------------------------------------------------------------------- #
+
 QUERIES: dict[str, _T] = {
+    # --- never driver-checked before r6 (r5 wave, positions 51-83 then) ---
+    "corpus_quantiles": q_corpus_quantiles,
+    "topk_keywords": q_topk_keywords,
+    "sessionize": q_sessionize,
+    "retention_cohorts": q_retention_cohorts,
+    "event_funnel": q_event_funnel,
+    "cluster_eval": q_cluster_eval,
+    "kg_pagerank": q_kg_pagerank,
+    "kg_pagerank_weighted": q_kg_pagerank_weighted,
+    "kg_triangles": q_kg_triangles,
+    "kg_khop": q_kg_khop,
+    "kg_graph_diff": q_kg_graph_diff,
+    "ann_lsh_candidates_hashed": q_ann_lsh_candidates_hashed,
+    "ann_ivf_candidates_hashed": q_ann_ivf_candidates_hashed,
+    # --- flagship pipeline + entries displaced out of the r5 window ---
+    "kg_pipeline_nodes": q_kg_pipeline_nodes,
+    "kg_pipeline_edges": q_kg_pipeline_edges,
+    "fingerprint": q_fingerprint,
+    "kg_mentions": q_kg_mentions,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_node_degree": q_kg_node_degree,
+    "kg_connected_components": q_kg_connected_components,
+    "compress_triples": q_compress_triples,
+    "kg_verbalize": q_kg_verbalize,
+    "kg_triple_topk": q_kg_triple_topk,
+    "kg_triple_topk_hashed": q_kg_triple_topk_hashed,
+    "kg_query_structured": q_kg_query_structured,
+    "kg_query_text": q_kg_query_text,
+    "kg_query_text_hashed": q_kg_query_text_hashed,
+    "kg_chapters": q_kg_chapters,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    # --- rotation: the 17 oldest r5-green entries fill the window ---
     "filter_predicate": q_filter_predicate,
     "fk_join_hydration": q_fk_join_hydration,
     "explode_tokens": q_explode_tokens,
@@ -1716,6 +1770,7 @@ QUERIES: dict[str, _T] = {
     "top_revenue": q_top_revenue,
     "windowed_events": q_windowed_events,
     "dedup_exact": q_dedup_exact,
+    # --- positions 51-83: r5-green, rotate into the window next round ---
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "neardup_clusters": q_neardup_clusters,
     "neardup_dedup": q_neardup_dedup,
@@ -1749,39 +1804,6 @@ QUERIES: dict[str, _T] = {
     "bm25_topk": q_bm25_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "best_snippet": q_best_snippet,
-    "corpus_quantiles": q_corpus_quantiles,
-    "topk_keywords": q_topk_keywords,
-    "sessionize": q_sessionize,
-    "retention_cohorts": q_retention_cohorts,
-    "event_funnel": q_event_funnel,
-    "cluster_eval": q_cluster_eval,
-    "fingerprint": q_fingerprint,
-    "kg_mentions": q_kg_mentions,
-    "kg_cooccurrence": q_kg_cooccurrence,
-    "kg_node_degree": q_kg_node_degree,
-    "kg_connected_components": q_kg_connected_components,
-    "kg_pagerank": q_kg_pagerank,
-    "kg_pagerank_weighted": q_kg_pagerank_weighted,
-    "kg_triangles": q_kg_triangles,
-    "kg_khop": q_kg_khop,
-    "kg_graph_diff": q_kg_graph_diff,
-    "compress_triples": q_compress_triples,
-    "kg_verbalize": q_kg_verbalize,
-    "kg_triple_topk": q_kg_triple_topk,
-    "kg_triple_topk_hashed": q_kg_triple_topk_hashed,
-    "kg_query_structured": q_kg_query_structured,
-    "kg_query_text": q_kg_query_text,
-    "kg_query_text_hashed": q_kg_query_text_hashed,
-    "kg_chapters": q_kg_chapters,
-    "kg_pipeline_nodes": q_kg_pipeline_nodes,
-    "kg_pipeline_edges": q_kg_pipeline_edges,
-    "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
-    "simhash_neardup": q_simhash_neardup,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_candidates_hashed": q_ann_lsh_candidates_hashed,
-    "ann_ivf_candidates_hashed": q_ann_ivf_candidates_hashed,
 }
 
 _GAZ_SQL = ",".join(f"'{t}'" for t in GAZ_TERMS)

@@ -201,6 +201,18 @@ PII_TOKENS: dict[str, str] = {
 }
 
 
+def redacted_text_col(text_col: str) -> F.Column:
+    """The PII-redaction projection as a bare column expression (the
+    replacement half of :func:`redact_pii` — same family order, so the two
+    can never drift). Lets composition pipelines rewrite text in place
+    with zero joins (curation.curate_corpus r6)."""
+    redacted = F.col(text_col)
+    for fam in ("email", "ip", "phone"):
+        redacted = F.regexp_replace(redacted, PII_PATTERNS[fam],
+                                    PII_TOKENS[fam])
+    return redacted
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",
@@ -215,13 +227,9 @@ def redact_pii(
     email -> ip -> phone so a family never matches inside another's
     placeholder. Pure codegen'd regexp projection — zero shuffle, zero
     Python; the plan is a scan at any scale."""
-    redacted = F.col(text_col)
-    for fam in ("email", "ip", "phone"):
-        redacted = F.regexp_replace(redacted, PII_PATTERNS[fam],
-                                    PII_TOKENS[fam])
     return df.select(
         *id_cols,
-        redacted.alias("redacted"),
+        redacted_text_col(text_col).alias("redacted"),
         F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["email"]))
         .alias("n_emails"),
         F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS["phone"]))

@@ -183,7 +183,7 @@ def connected_components(
     cc = (
         sym.select("u").union(sym.select("v")).distinct()
         .select(F.col("u").alias("member"), F.col("u").alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _sig(frame: DataFrame) -> tuple:
@@ -194,6 +194,10 @@ def connected_components(
         # tail). Labels only ever decrease (min-propagation), so an
         # unchanged double signature means converged w.h.p. (~2^-128 per
         # round of false-stop risk).
+        # r6: callers pass a LAZY (eager=False) checkpoint — this agg is
+        # the action that materializes+persists it, so the signature rides
+        # the SAME job that used to be a separate eager-checkpoint count
+        # (one driver sync per round instead of two, guide §2.4/§5).
         row = frame.agg(
             F.sum(F.xxhash64("member", "component")
                   .cast("decimal(38,0)")).alias("a"),  # ANSI: no long overflow
@@ -218,7 +222,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         sig = _sig(nxt)
         cc = nxt
@@ -312,10 +316,13 @@ def pagerank(
             .localCheckpoint()
         )
     wsum = sym.groupBy("u").agg(F.sum("w").alias("wsum"))
-    # (u, v, w, wsum(u)) reused by every iteration: checkpoint once. Lazy —
-    # materializes inside iteration 1's job rather than as its own job
-    # (sym above is the eager one: it is read twice in a single job).
-    out_edges = sym.join(wsum, "u").localCheckpoint(eager=False)
+    # (u, v, w, wsum(u)) reused by every iteration — left as a LAZY plan
+    # over the checkpointed sym (r6): its canonical subtree is identical in
+    # every unrolled iteration, so AQE's stage cache computes its exchanges
+    # once per query execution and every later iteration reads the reused
+    # shuffle; a localCheckpoint here cost a synchronous AQE round trip AND
+    # hid the hash partitioning from the per-iteration join planner.
+    out_edges = sym.join(wsum, "u")
     nodes = wsum.select(F.col("u").alias("member")) \
         .localCheckpoint(eager=False)
     n = nodes.count()  # bounded scalar probe (node count; seals nodes)
@@ -325,26 +332,37 @@ def pagerank(
     init = scale // n
     base = init * (100 - damping_pct) // 100
     rank = nodes.select("member", F.lit(init).cast("long").alias("rank"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             out_edges.join(rank, out_edges["u"] == rank["member"])
             .select(F.col("v").alias("member"),
                     F.expr("(rank * w) div wsum").alias("c"))
             .groupBy("member").agg(F.sum("c").alias("s"))
         )
-        rank = (
-            nodes.join(contrib, "member", "left")
-            .select(
-                "member",
-                (F.lit(base).cast("long")
-                 + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                 ).cast("long").alias("rank"),
-            )
-            # lazy: truncates lineage but materializes inside the NEXT
-            # iteration's job (or the caller's first action) instead of one
-            # driver-synchronized job per round
-            .localCheckpoint(eager=False)
+        # No nodes re-join (r6): the graph is SYMMETRIZED, so every node
+        # has at least one incoming edge and ``contrib`` covers exactly the
+        # node set each round — the former left join against ``nodes`` (two
+        # exchanges per iteration) could never add a row or hit its
+        # coalesce(s, 0) default. Value-identical by construction;
+        # oracle-checked (kg_pagerank / kg_pagerank_weighted hash==).
+        rank = contrib.select(
+            "member",
+            (F.lit(base).cast("long")
+             + F.expr(f"({damping_pct} * s) div 100")
+             ).cast("long").alias("rank"),
         )
+        # Truncate lineage every 4th round and at the end (the returned
+        # frame stays checkpointed for downstream reuse). r6: a checkpoint
+        # per round cost one synchronous AQE stage-materialization round
+        # trip per iteration (localCheckpoint executes all non-result
+        # stages eagerly even with eager=False — measured 38 jobs for the
+        # 5-iteration bench entry); with no per-round reuse (each rank
+        # feeds exactly the next round) the unrolled plan grows only
+        # linearly, so 4 rounds per query execution is safe and lets AQE
+        # pipeline the iteration joins inside one execution (~2.6x fewer
+        # driver syncs).
+        if (i + 1) % 4 == 0 or i == n_iter - 1:
+            rank = rank.localCheckpoint(eager=False)
     return rank
 
 

@@ -292,7 +292,12 @@ def fit_dsir(
         "bucket",
         F.coalesce("_ct", F.lit(0)).alias("_ct"),
         F.coalesce("_cr", F.lit(0)).alias("_cr"),
-    )
+    ).localCheckpoint(eager=False)
+    # the checkpoint (bounded: <= n_buckets rows) makes the totals collect
+    # below materialize the joined count table ONCE; the weights frame then
+    # reads the persisted rows instead of re-running the two corpus-sized
+    # n-gram aggregations when it is broadcast by dsir_scores (r6 — fit
+    # previously cost 2 full passes over BOTH corpora)
     tot = joined.agg(F.sum("_ct"), F.sum("_cr")).collect()[0]
     tt, tr = int(tot[0] or 0) + n_buckets, int(tot[1] or 0) + n_buckets
     weights = joined.select(

@@ -431,6 +431,11 @@ def fit_lm_unigram(
     cnt = df if pre_counted else (
         df.select(F.explode(_tokens(text_col)).alias("tok"))
         .groupBy("tok").agg(F.count("*").alias("cnt")))
+    # the count table is vocabulary-sized, not corpus-sized — persist it so
+    # the total below and the vocab cut share ONE aggregation pass (r6: the
+    # lazy version re-ran the corpus explode+agg when the vocab frame was
+    # broadcast by the scorer)
+    cnt = cnt.localCheckpoint(eager=False)
     total = cnt.agg(F.sum("cnt")).collect()[0][0]
     vocab = (
         cnt.orderBy(F.desc("cnt"), "tok").limit(vocab_size)
@@ -492,6 +497,11 @@ def lm_unigram_score(
     if model is not None:
         vocab, oov_cost = model
     else:
+        # fit-on-self is inherently two-pass (fit, then score): persist the
+        # (doc, token) pre-aggregation so the second pass reads it instead
+        # of re-exploding the corpus (r6). The deployed pre-fitted ``model``
+        # path stays single-pass with no checkpoint.
+        dcnt = dcnt.localCheckpoint(eager=False)
         vocab, oov_cost = fit_lm_unigram(
             dcnt.groupBy("tok").agg(F.sum("c").alias("cnt")),
             vocab_size=vocab_size, pre_counted=True)
