@@ -116,23 +116,32 @@ def duplicate_rate(df: DataFrame, content_col: str, cells: int = 4,
     split groups across the boundary and underestimate ~1/cells-fold).
     Falls back to the full table when the cell is too small to read.
 
-    r6: ONE probe job in the common case — cell count, cell distinct and
-    the full count ride a single aggregation (the conditional distinct adds
-    no expand: there is one distinct column), so the small-cell fallback is
-    known without a second scan; only when the cell IS too small does a
+    r6: ONE probe job in the common case, with a 2-exchange plan — the
+    previous count_distinct formulation planned an Expand + 3 exchanges
+    (measured 1.5 s of pure stage latency on a 2,000-row probe). Cell
+    membership is a function of the hash, so grouping by
+    (in_cell, hash-or-sentinel) shuffles ONLY the cell's distinct hashes
+    (non-cell rows fold to one sentinel row per map task — the same
+    shuffle profile as the old cell-only pass), and one tiny second
+    aggregation over the grouped frame yields cell count, cell distinct
+    and the full count together. Only when the cell IS too small does a
     second (tiny-table by definition) job compute the full distinct. The
     returned estimate is numerically identical to the two-pass version in
     both branches."""
     s = df.select(F.xxhash64(content_col).alias("_h"))
     in_cell = F.pmod("_h", F.lit(cells)) == 0
-    row = s.agg(
-        F.count(F.when(in_cell, 1)).alias("n"),
-        F.count_distinct(F.when(in_cell, F.col("_h"))).alias("d"),
-        F.count("*").alias("n_all"),
+    g = s.groupBy(
+        in_cell.alias("_f"),
+        F.when(in_cell, F.col("_h")).otherwise(F.lit(0)).alias("_k"),
+    ).agg(F.count("*").alias("c"))
+    row = g.agg(
+        F.sum(F.when(F.col("_f"), F.col("c"))).alias("n"),
+        F.count(F.when(F.col("_f"), 1)).alias("d"),
+        F.sum("c").alias("n_all"),
     ).collect()[0]
-    n, d = row["n"], row["d"]
+    n, d = row["n"] or 0, row["d"]
     if n < min_sample:
-        n = row["n_all"]
+        n = row["n_all"] or 0
         d = s.agg(F.count_distinct("_h").alias("d")).collect()[0]["d"]
     if not n:
         return 0.0

@@ -393,38 +393,71 @@ def extract_pattern_triples(
     """
     out: list[dict[str, str]] = []
     seen: set[tuple[str, str, str]] = set()
+    # pattern metadata (trigger defaulting/lowering) hoisted out of the
+    # sentence loop and cached per pattern list (r6: it was re-derived per
+    # sentence x pattern — pure per-task prep per the optimization guide's
+    # "heavyweight init once"); mentions are grouped by type once per
+    # sentence instead of re-filtered per pattern.
+    prepped = _prep_patterns(patterns)
     for _off, sent in sentences(text):
         mentions = detect_mentions(sent, gazetteer)
         if len(mentions) < 2:
             continue
         sent_low = sent.lower()
-        for pat in patterns:
-            ht, rel, tt = pat["head_type"], pat["relation"], pat["tail_type"]
-            triggers = pat.get("triggers") or [rel.replace("_", " ").lower()]
-            heads = [m for m in mentions if m["type"] == ht]
-            tails = [m for m in mentions if m["type"] == tt]
+        by_type: dict[str, list] = {}
+        for m in mentions:
+            by_type.setdefault(m["type"], []).append(m)
+        for ht, rel, tt, triggers in prepped:
+            heads = by_type.get(ht)
+            tails = by_type.get(tt)
+            if not heads or not tails:
+                continue
             for hm in heads:
+                h_name = hm["name"]
+                h_end = hm["start"] + len(hm["surface"])
                 for tm in tails:
-                    if hm["name"] == tm["name"] and ht == tt:
+                    if h_name == tm["name"] and ht == tt:
                         continue
-                    a, b = hm["start"], tm["start"]
-                    if a >= b:
+                    b = tm["start"]
+                    if hm["start"] >= b:
                         continue
-                    between = sent_low[a + len(hm["surface"]): b]
+                    between = sent_low[h_end:b]
                     if not any(t in between for t in triggers):
                         continue
-                    key = (hm["name"], rel, tm["name"])
+                    key = (h_name, rel, tm["name"])
                     if key in seen:
                         continue
                     seen.add(key)
                     out.append(
                         {
-                            "head": hm["name"], "head_type": ht,
+                            "head": h_name, "head_type": ht,
                             "relation": rel,
                             "tail": tm["name"], "tail_type": tt,
                         }
                     )
     return out
+
+
+_PAT_PREP_CACHE: dict[int, tuple[list, list]] = {}
+
+
+def _prep_patterns(patterns: list[dict[str, Any]]) -> list[tuple]:
+    """[(head_type, relation, tail_type, triggers)] with the trigger default
+    applied — cached by pattern-list identity, so a long-lived task closure
+    pays the prep once (same caching model as _gazetteer_regex)."""
+    hit = _PAT_PREP_CACHE.get(id(patterns))
+    if hit is not None and hit[1] is patterns:
+        return hit[0]
+    prepped = [
+        (
+            pat["head_type"], pat["relation"], pat["tail_type"],
+            tuple(pat.get("triggers")
+                  or [pat["relation"].replace("_", " ").lower()]),
+        )
+        for pat in patterns
+    ]
+    _PAT_PREP_CACHE[id(patterns)] = (prepped, patterns)
+    return prepped
 
 
 _ZS_REL_RE = re.compile(r"[^0-9a-zA-Z ]+")
