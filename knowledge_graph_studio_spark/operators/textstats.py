@@ -497,11 +497,13 @@ def lm_unigram_score(
     if model is not None:
         vocab, oov_cost = model
     else:
-        # fit-on-self is inherently two-pass (fit, then score): persist the
-        # (doc, token) pre-aggregation so the second pass reads it instead
-        # of re-exploding the corpus (r6). The deployed pre-fitted ``model``
-        # path stays single-pass with no checkpoint.
-        dcnt = dcnt.localCheckpoint(eager=False)
+        # fit-on-self is inherently two-pass (fit, then score); the fit's
+        # vocabulary-count table is checkpointed inside fit_lm_unigram so
+        # the total and the vocab cut share one aggregation pass. The
+        # corpus-sized (doc, token) table is deliberately NOT persisted:
+        # re-deriving it (explode + map-side-combined agg) is cheaper at
+        # scale than writing it to the checkpoint store (r6 A/B at sf0.1:
+        # within noise either way).
         vocab, oov_cost = fit_lm_unigram(
             dcnt.groupBy("tok").agg(F.sum("c").alias("cnt")),
             vocab_size=vocab_size, pre_counted=True)
