@@ -337,8 +337,13 @@ def curate_corpus(
              .withColumn("n_tokens",
                          F.size(F.split(F.col(text_col), " ")).cast("bigint"))
              .withColumn("_shard", F.shiftright(F.col("_pk"), shift)))
+        # (id, copy) tiebreak: 64-bit _pk collisions are expected at
+        # web-scale doc counts and would otherwise leave intra-shard order
+        # nondeterministic, breaking the bit-reproducible layout (ADVICE r5)
+        tiebreak = (id_col, "copy") if "copy" in cur.columns else (id_col,)
         cur = pack_sequences(d, pack_seq_len, shard_col="_shard",
-                             key_col="_pk").drop("_shard")
+                             key_col="_pk",
+                             tiebreak_cols=tiebreak).drop("_shard")
         stages["packed"] = cur
 
     _ = extra  # extra columns ride along via the joins above
@@ -389,6 +394,24 @@ def run_curation_job(
     done = manifest.committed("curation_group")
     g = lambda *names: {k: kwargs[k] for k in names if k in kwargs}  # noqa: E731
 
+    # every kwarg must belong to exactly one group's forward list — an
+    # unknown name (typo, or a toggle this runner does not thread) would
+    # otherwise be SILENTLY dropped and the staged run would diverge from
+    # the caller's intended curate_corpus configuration (ADVICE r5)
+    _forwarded = {
+        "url_col", "blocked_domains", "ts_col", "boilerplate_max_df_frac",
+        "substr_dedup_k", "seal_every", "gopher", "gopher_kwargs",
+        "repetition_kwargs", "fuzzy_dedup", "fuzzy_kwargs", "lm_model",
+        "lm_thresholds", "lm_drop_bucket", "eval_df", "decontaminate_n",
+        "exact_dedup", "pii", "dsir_target", "dsir_top_n", "dsir_kwargs",
+        "mix_rates", "stratum_col", "pack_seq_len", "pack_shards",
+    }
+    unknown = set(kwargs) - _forwarded
+    if unknown:
+        raise ValueError(
+            f"run_curation_job: unknown kwargs {sorted(unknown)}; "
+            f"forwardable: {sorted(_forwarded)}")
+
     group_kwargs = [
         dict(gopher=False, exact_dedup=False, pii=False,
              **g("url_col", "blocked_domains", "ts_col",
@@ -398,7 +421,7 @@ def run_curation_job(
              **g("gopher", "gopher_kwargs", "repetition_kwargs",
                  "fuzzy_dedup", "fuzzy_kwargs", "lm_model",
                  "lm_thresholds", "lm_drop_bucket", "eval_df",
-                 "decontaminate_n", "seal_every")),
+                 "decontaminate_n", "exact_dedup", "pii", "seal_every")),
         dict(clean_text_stages=False, gopher=False, exact_dedup=False,
              pii=False,
              **g("dsir_target", "dsir_top_n", "dsir_kwargs", "mix_rates",

@@ -272,7 +272,8 @@ def minhash_params(num_hashes: int = 64) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = 64,
-                       hash_fn: str = "xxhash64") -> DataFrame:
+                       hash_fn: str = "xxhash64",
+                       pre_hashed: bool = False) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_hashes]) — universal-hash minhash
     family over the Mersenne prime p = 2^31 - 1:
     sig[i] = min over shingles of (a_i * h + b_i) mod p, h = hash mod p.
@@ -281,11 +282,16 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 64,
     integer ops each (JVM codegen, products < 2^62 so ANSI-safe), not k string
     hashes. One groupBy with k parallel MIN aggregates — map-side combinable.
     ``hash_fn``: "xxhash64" (production default) or "md5_60" (bit-identical
-    in DuckDB — the oracle-checkable family, see _token_hash)."""
+    in DuckDB — the oracle-checkable family, see _token_hash).
+    ``pre_hashed=True`` takes a frame whose ``shingle`` column already holds
+    ``_token_hash(shingle, hash_fn)`` values (the verified-pair path shares
+    one checkpointed hashed shingle index between banding and verification —
+    ``pmod`` of the stored hash is bit-identical to hashing here)."""
     p = MINHASH_P
     params = minhash_params(num_hashes)
     base = shingles.select(
-        "doc_id", F.pmod(_token_hash(F.col("shingle"), hash_fn),
+        "doc_id", F.pmod(F.col("shingle") if pre_hashed
+                         else _token_hash(F.col("shingle"), hash_fn),
                          F.lit(p)).alias("_h"))
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"_m{i}")
@@ -365,6 +371,14 @@ def minhash_lsh_candidates(
             .distinct()
     sh = token_shingles(df, id_col, text_col, k=shingle_k)
     sig = minhash_signatures(sh, num_hashes=num_hashes, hash_fn=hash_fn)
+    return _lsh_bucket_pairs(sig, bands, rows, max_bucket, band_key)
+
+
+def _lsh_bucket_pairs(sig: DataFrame, bands: int, rows: int,
+                      max_bucket: int, band_key: str) -> DataFrame:
+    """Signatures -> banded buckets -> distinct within-bucket (da < db)
+    pairs, with oversized buckets dropped (the shared tail of
+    minhash_lsh_candidates and the verified-pair fast path)."""
     banded = lsh_bands(sig, bands=bands, rows=rows, band_key=band_key)
     buckets = (
         banded.groupBy("band_id", "band_hash")
@@ -415,28 +429,58 @@ def minhash_neardup_pairs(
     if collapse_exact:
         id_col = kw.get("id_col", "doc_id")
         text_col = kw.get("text_col", "text")
-        k = kw.get("shingle_k", 3)
         reps, mem = _collapse_verbatim(df, id_col, text_col)
-        rep_out = minhash_neardup_pairs(
+        # the verified core hands back the capped hashed shingle index it
+        # verified against, so the intra-duplicate size table shares it
+        # instead of re-shingling the representatives (r6)
+        rep_out, rep_sh = _minhash_verified_pairs(
             reps, jaccard_threshold, max_shingle_df, **kw)
-        # rep-level capped shingle counts (same universe the recursive call
-        # verified against) for the intra-duplicate rows
-        rep_sh = (token_shingles(reps, id_col, text_col, k=k)
-                  .select("doc_id", F.xxhash64("shingle").alias("shingle")))
-        if max_shingle_df is not None:
-            rep_sh = cap_shingle_df(rep_sh, max_shingle_df, log=False)
         rep_sz = rep_sh.groupBy("doc_id").agg(F.count("*").alias("_nsh"))
         return _expand_verified_pairs(rep_out, mem, reps, rep_sz, id_col)
-    cands = minhash_lsh_candidates(df, **kw)
+    out, _ = _minhash_verified_pairs(df, jaccard_threshold,
+                                     max_shingle_df, **kw)
+    return out
+
+
+def _minhash_verified_pairs(
+    df: DataFrame, jaccard_threshold: float, max_shingle_df: int | None,
+    **kw,
+) -> tuple[DataFrame, DataFrame]:
+    """Uncollapsed core of minhash_neardup_pairs; returns ``(verified_pairs,
+    capped_sh)`` where capped_sh is the (doc_id, xxhash64-shingle) index the
+    verification ran over (collapse callers derive per-rep sizes from it).
+
+    r6 (guide §2.4, remove duplicated passes): with the default xxhash64
+    family the banding signatures are derived from the SAME checkpointed
+    hashed shingle index as the verification join — ``pmod(stored_hash, p)``
+    is bit-identical to hashing inside minhash_signatures — so the corpus
+    is tokenized+shingled ONCE per query instead of twice. The md5_60
+    oracle family keeps the separate candidate pass (its banding hash is
+    not the verification key's xxhash64)."""
+    id_col = kw.get("id_col", "doc_id")
+    text_col = kw.get("text_col", "text")
+    shingle_k = kw.get("shingle_k", 3)
+    hash_fn = kw.get("hash_fn", "xxhash64")
     # 64-bit hash key first (cheaper join compare, collision odds ~m^2/2^65),
     # then localCheckpoint ONCE pre-cap: compute-once without a CacheManager
     # leak (see driver_contract.q_dedup_ngram_jaccard).
     sh = (
-        token_shingles(df, kw.get("id_col", "doc_id"),
-                       kw.get("text_col", "text"), k=kw.get("shingle_k", 3))
+        token_shingles(df, id_col, text_col, k=shingle_k)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .localCheckpoint(eager=False)
     )
+    if hash_fn == "xxhash64":
+        num_hashes = kw.get("num_hashes", 64)
+        bands = kw.get("bands", 16)
+        rows = kw.get("rows", 4)
+        assert bands * rows == num_hashes
+        sig = minhash_signatures(sh, num_hashes=num_hashes,
+                                 hash_fn=hash_fn, pre_hashed=True)
+        cands = _lsh_bucket_pairs(sig, bands, rows,
+                                  kw.get("max_bucket", 200),
+                                  kw.get("band_key", "xxhash64"))
+    else:
+        cands = minhash_lsh_candidates(df, **kw)
     if max_shingle_df is not None:
         sh = cap_shingle_df(sh, max_shingle_df)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -452,7 +496,7 @@ def minhash_neardup_pairs(
         .withColumn("union_size", F.col("na") + F.col("nb") - F.col("common"))
         .filter(F.col("common") >= F.lit(jaccard_threshold) * F.col("union_size"))
     )
-    return out.select("da", "db", "common", "union_size")
+    return out.select("da", "db", "common", "union_size"), sh
 
 
 def simhash_neardup_pairs(
@@ -552,15 +596,25 @@ def ngram_jaccard_pairs(
     collapse_exact = resolve_collapse(df, collapse_exact, text_col)
     if collapse_exact:
         reps, mem = _collapse_verbatim(df, id_col, text_col)
-        rep_out = ngram_jaccard_pairs(
+        # share the verified core's capped shingle index with the
+        # intra-duplicate size table instead of re-shingling the reps (r6)
+        rep_out, rep_sh = _ngram_verified_pairs(
             reps, jaccard_threshold, max_shingle_df, id_col, text_col,
-            shingle_k, collapse_exact=False)
-        rep_sh = (token_shingles(reps, id_col, text_col, k=shingle_k)
-                  .select("doc_id", F.xxhash64("shingle").alias("shingle")))
-        if max_shingle_df is not None:
-            rep_sh = cap_shingle_df(rep_sh, max_shingle_df, log=False)
+            shingle_k)
         rep_sz = rep_sh.groupBy("doc_id").agg(F.count("*").alias("_nsh"))
         return _expand_verified_pairs(rep_out, mem, reps, rep_sz, id_col)
+    out, _ = _ngram_verified_pairs(df, jaccard_threshold, max_shingle_df,
+                                   id_col, text_col, shingle_k)
+    return out
+
+
+def _ngram_verified_pairs(
+    df: DataFrame, jaccard_threshold: float, max_shingle_df: int | None,
+    id_col: str, text_col: str, shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Uncollapsed core of ngram_jaccard_pairs; returns ``(pairs,
+    capped_sh)`` so collapse callers derive per-rep sizes from the same
+    capped hashed shingle index the join ran over."""
     sh = (token_shingles(df, id_col, text_col, k=shingle_k)
           .select("doc_id", F.xxhash64("shingle").alias("shingle"))
           .localCheckpoint(eager=False))
@@ -576,7 +630,7 @@ def ngram_jaccard_pairs(
     )
     sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    return (
+    out = (
         common.join(sa, "da").join(sb, "db")
         .filter(F.col("common") >= F.lit(jaccard_threshold)
                 * (F.col("na") + F.col("nb") - F.col("common")))
@@ -584,6 +638,7 @@ def ngram_jaccard_pairs(
                 (F.col("na") + F.col("nb") - F.col("common"))
                 .alias("union_size"))
     )
+    return out, sh
 
 
 def _token_hash(col, hash_fn: str):
@@ -967,7 +1022,14 @@ def clustering_metrics(
     10^12-item evaluation costs three shuffles of at most |items| rows.
     All arithmetic is int64 (C(n,2) = n*(n-1) div 2; ratios in the 1e6
     fixed point with div), so the result is exact, partition-invariant and
-    oracle-pairable. ``id_col`` enforces one row per item
+    oracle-pairable. Bound (ADVICE r5): int64 pair counts are exact while
+    every SINGLE group stays under ~4.29e9 items (n*(n-1) < 2^63) and the
+    summed pair count under ~9.2e18; a larger group silently wraps under
+    non-ANSI arithmetic while the DuckDB oracle widens to HUGEINT. Row
+    COUNTS up to 10^12 are fine — it is a >=4-billion-member duplicate
+    GROUP that would overflow, far past any real clustering's group sizes
+    (cap upstream generators, e.g. max_bucket, if evaluating adversarial
+    labelings). ``id_col`` enforces one row per item
     (dropDuplicates) so accidental duplicate assignment rows cannot
     double-count pairs. Zero-denominator conventions: a metric with an
     empty denominator reports 1e6 (vacuously perfect), matching the usual

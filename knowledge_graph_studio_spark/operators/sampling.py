@@ -118,6 +118,7 @@ def pack_sequences(
     key_col: str = "doc_id",
     shard_col: str | None = None,
     max_shards: int = 100_000,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are laid out in the
     global order ``(shard, key)`` and split every ``seq_len`` tokens into
@@ -172,7 +173,11 @@ def pack_sequences(
     prefix_df = F.broadcast(
         spark.createDataFrame(prefix, "_shard bigint, _prefix bigint"))
 
-    w = (Window.partitionBy("_shard").orderBy(key_col)
+    # tiebreak_cols break key ties deterministically: a hash-derived key
+    # (e.g. curation's _pk = xxhash64(id, copy)) collides eventually at
+    # web-scale doc counts, and an untied window order would make the
+    # packed layout nondeterministic exactly there (ADVICE r5)
+    w = (Window.partitionBy("_shard").orderBy(key_col, *tiebreak_cols)
          .rowsBetween(Window.unboundedPreceding, -1))
     tok = F.col(tokens_col).cast("bigint")
     cum = (F.col("_prefix")

@@ -569,8 +569,13 @@ def fit_lm_bigram(
     bigram counts); everything after the two ``ln`` calls is bigint."""
     toks = df.select(_tokens(text_col).alias("_t"))
     t = F.col("_t")
+    # the unigram count table feeds BOTH the vocab fit and the bigram
+    # denominator join below — checkpoint it (vocabulary-sized, bounded)
+    # so the corpus-sized explode+agg runs once, not once per consumer (r6;
+    # same fix as fit_lm_unigram's internal count checkpoint)
     uni = (toks.select(F.explode(t).alias("tok"))
-           .groupBy("tok").agg(F.count("*").alias("cnt")))
+           .groupBy("tok").agg(F.count("*").alias("cnt"))
+           .localCheckpoint(eager=False))
     vocab, oov_cost = fit_lm_unigram(uni, vocab_size=vocab_size,
                                      pre_counted=True)
 

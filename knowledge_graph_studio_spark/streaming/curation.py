@@ -51,7 +51,10 @@ def _existing_positions(spark: SparkSession, path: str,
         df = spark.read.parquet(path)
     except Exception:
         return spark.createDataFrame([], "pos bigint")
-    return df.filter(F.col("batch") != exclude_batch).select("pos")
+    # distinct: the same pos set in k batches would otherwise fan the
+    # seen_before probe join out k-fold as batches accumulate (the seen
+    # flag stays correct either way; this bounds join size — ADVICE r5)
+    return df.filter(F.col("batch") != exclude_batch).select("pos").distinct()
 
 
 def run_streaming_dedup(

@@ -34,6 +34,25 @@ def _exact_jaccard_pairs(spark, docs, threshold):
     return {(r["da"], r["db"]) for r in j.filter(F.col("j") >= threshold).collect()}
 
 
+def test_minhash_signatures_pre_hashed_parity(spark, docs):
+    """The shared-index fast path (r6): signatures computed from a
+    pre-hashed (doc_id, xxhash64(shingle)) frame are bit-identical to
+    signatures computed from the raw shingle strings — pmod of the stored
+    hash is the same base the in-line hash produces, so the verified-pair
+    path may band and verify over ONE checkpointed index."""
+    from knowledge_graph_studio_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    raw = token_shingles(docs)
+    hashed = raw.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    a = {r["doc_id"]: tuple(r["sig"])
+         for r in minhash_signatures(raw).collect()}
+    b = {r["doc_id"]: tuple(r["sig"])
+         for r in minhash_signatures(hashed, pre_hashed=True).collect()}
+    assert a == b
+
+
 def test_minhash_lsh_recall_vs_exact(spark, docs):
     exact = _exact_jaccard_pairs(spark, docs, 0.7)
     assert exact, "fixture should contain near-duplicate docs"
